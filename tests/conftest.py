@@ -1,0 +1,31 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-device sharding tests run against a virtual CPU mesh via
+``--xla_force_host_platform_device_count`` — the standard JAX trick for
+exercising pjit/collectives without TPU hardware. Must be set before jax
+initializes, hence at conftest import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def synthetic_data():
+    from text2pos_tpu.data.synthetic import make_synthetic_dataset
+
+    return make_synthetic_dataset(seed=0)

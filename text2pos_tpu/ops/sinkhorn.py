@@ -1,0 +1,123 @@
+"""Log-domain Sinkhorn optimal transport with learned dustbins.
+
+TPU-native reimplementation of SuperGlue's matching tail:
+ - log_sinkhorn_iterations  /root/reference/models/superglue.py:149-155
+ - log_optimal_transport    /root/reference/models/superglue.py:158-177
+ - mutual-max match extraction with threshold
+                            /root/reference/models/superglue.py:312-322
+
+The iteration is a ``lax.fori_loop`` of row/column logsumexp over a static
+[B, M+1, N+1] coupling matrix, which XLA fuses into a couple of VPU passes
+per iteration — the reference runs this as 50-100 Python-level torch ops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray, log_nu: jnp.ndarray,
+                 iters: int) -> jnp.ndarray:
+    """Sinkhorn normalization in log space.
+
+    Args:
+        Z:      [B, M, N] log couplings
+        log_mu: [B, M] log row marginals
+        log_nu: [B, N] log column marginals
+        iters:  static iteration count
+    """
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(Z + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(Z + u[:, :, None], axis=1)
+        return u, v
+
+    u0 = jnp.zeros_like(log_mu)
+    v0 = jnp.zeros_like(log_nu)
+    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+    return Z + u[:, :, None] + v[:, None, :]
+
+
+def log_optimal_transport(scores: jnp.ndarray, alpha: jnp.ndarray,
+                          iters: int) -> jnp.ndarray:
+    """Augment scores with dustbin row/column and run Sinkhorn.
+
+    Args:
+        scores: [B, M, N] similarity scores
+        alpha:  scalar learned dustbin score
+        iters:  static Sinkhorn iteration count
+
+    Returns:
+        [B, M+1, N+1] log transport matrix, scaled by M+N
+        (reference superglue.py:158-177).
+    """
+    B, M, N = scores.shape
+    dt = scores.dtype
+    ms = jnp.asarray(M, dt)
+    ns = jnp.asarray(N, dt)
+
+    alpha = jnp.asarray(alpha, dt)
+    bins0 = jnp.full((B, M, 1), alpha, dt)
+    bins1 = jnp.full((B, 1, N), alpha, dt)
+    corner = jnp.full((B, 1, 1), alpha, dt)
+    couplings = jnp.concatenate(
+        [jnp.concatenate([scores, bins0], axis=-1),
+         jnp.concatenate([bins1, corner], axis=-1)],
+        axis=1,
+    )  # [B, M+1, N+1]
+
+    norm = -jnp.log(ms + ns)
+    log_mu = jnp.concatenate([jnp.full((M,), norm, dt), jnp.log(ns)[None] + norm])
+    log_nu = jnp.concatenate([jnp.full((N,), norm, dt), jnp.log(ms)[None] + norm])
+    log_mu = jnp.broadcast_to(log_mu[None], (B, M + 1))
+    log_nu = jnp.broadcast_to(log_nu[None], (B, N + 1))
+
+    Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+    return Z - norm  # multiply probabilities by M+N
+
+
+def extract_matches(Z: jnp.ndarray, match_threshold: float = 0.2
+                    ) -> Dict[str, jnp.ndarray]:
+    """Mutual-max + threshold match extraction (superglue.py:312-322).
+
+    Args:
+        Z: [B, M+1, N+1] log transport (including dustbins)
+
+    Returns dict with matches0 [B,M], matches1 [B,N] (−1 = unmatched) and
+    matching_scores0/1.
+    """
+    z = Z[:, :-1, :-1]
+    B, M, N = z.shape
+
+    max0_val = jnp.max(z, axis=2)
+    indices0 = jnp.argmax(z, axis=2)             # [B, M] best hint per object
+    max1_val = jnp.max(z, axis=1)
+    indices1 = jnp.argmax(z, axis=1)             # [B, N] best object per hint
+    del max1_val
+
+    arange_m = jnp.arange(M)[None, :]
+    arange_n = jnp.arange(N)[None, :]
+    # mutual0[b, i]: indices1[b, indices0[b, i]] == i
+    back0 = jnp.take_along_axis(indices1, indices0, axis=1)
+    mutual0 = back0 == arange_m
+    back1 = jnp.take_along_axis(indices0, indices1, axis=1)
+    mutual1 = back1 == arange_n
+
+    zero = jnp.zeros((), z.dtype)
+    mscores0 = jnp.where(mutual0, jnp.exp(max0_val), zero)
+    mscores1 = jnp.where(mutual1, jnp.take_along_axis(mscores0, indices1, axis=1), zero)
+    valid0 = mutual0 & (mscores0 > match_threshold)
+    valid1 = mutual1 & jnp.take_along_axis(valid0, indices1, axis=1)
+
+    neg1 = jnp.asarray(-1, indices0.dtype)
+    matches0 = jnp.where(valid0, indices0, neg1)
+    matches1 = jnp.where(valid1, indices1, neg1)
+    return {
+        "matches0": matches0,
+        "matches1": matches1,
+        "matching_scores0": mscores0,
+        "matching_scores1": mscores1,
+    }
