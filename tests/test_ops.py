@@ -205,7 +205,7 @@ class TestLSTM:
         want = 0.5 * (
             self._np_lstm(x, lengths, fwd) + self._np_lstm(x, lengths, bwd, reverse=True)
         )
-        np.testing.assert_allclose(got, want, atol=1e-4)
+        np.testing.assert_allclose(got, want, atol=2e-3)
 
     def test_padding_is_ignored(self, rng):
         B, T, E = 2, 6, 4
