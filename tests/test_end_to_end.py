@@ -1,0 +1,163 @@
+"""End-to-end integration: synthetic data → training steps → full pipeline."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from text2pos_tpu.config import EvalConfig, TrainConfig
+from text2pos_tpu.data.hints import Vocabulary, build_vocabulary, create_hint_description
+from text2pos_tpu.data.loaders import CoarseLoader, FineLoader
+from text2pos_tpu.evaluation.pipeline import LocalizationPipeline
+from text2pos_tpu.train.coarse import CoarseTrainer
+from text2pos_tpu.train.fine import FineTrainer
+
+TINY = dict(
+    batch_size=4,
+    embed_dim=16,
+    num_layers=1,
+    sinkhorn_iters=10,
+    pointnet_numpoints=32,
+    coarse_max_objects=16,
+    pad_size=8,
+    num_mentioned=6,
+    max_text_len=64,
+    max_hint_len=12,
+    epochs=2,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(synthetic_data):
+    cells, poses = synthetic_data
+    cfg = TrainConfig(**TINY)
+    vocab = Vocabulary(build_vocabulary(
+        [create_hint_description(p) for p in poses]))
+    return cells, poses, cfg, vocab
+
+
+class TestCoarseTraining:
+    def test_train_step_and_eval(self, setup):
+        cells, poses, cfg, vocab = setup
+        loader = CoarseLoader(
+            cells, poses, vocab, cfg.batch_size, cfg.coarse_max_objects,
+            cfg.pointnet_numpoints, cfg.max_text_len, shuffle_hints=True,
+            flip_poses=True, seed=0)
+        trainer = CoarseTrainer(cfg, vocab)
+        rng = jax.random.PRNGKey(0)
+        batch = next(loader.epoch(seed=0))
+        state = trainer.init_state(batch, rng, steps_per_epoch=2)
+
+        import jax.numpy as jnp
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("num_real", "pose_idx")}
+        state2, loss = trainer.train_step(state, jb, rng)
+        assert np.isfinite(float(loss))
+        # a second step with the same batch should change the loss
+        _, loss2 = trainer.train_step(state2, jb, rng)
+        assert float(loss2) != float(loss)
+
+        accs, accs_close, retrievals = trainer.eval_epoch(
+            state2, loader, (1, 3, 5))
+        assert set(accs) == {1, 3, 5}
+        assert 0.0 <= accs[1] <= accs[3] <= accs[5] <= 1.0
+        assert 0.0 <= accs_close[5] <= 1.0
+        assert len(retrievals) == len(poses)
+
+
+class TestFineTraining:
+    def test_train_step_metrics(self, setup):
+        cells, poses, cfg, vocab = setup
+        loader = FineLoader(
+            cells, poses, vocab, cfg.batch_size, cfg.pad_size,
+            cfg.num_mentioned, cfg.pointnet_numpoints, cfg.max_hint_len)
+        trainer = FineTrainer(cfg, vocab)
+        rng = jax.random.PRNGKey(0)
+        batch = next(loader.epoch(seed=0))
+        state = trainer.init_state(batch, rng, steps_per_epoch=2)
+
+        import jax.numpy as jnp
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("num_real", "pose_idx")}
+        state, metrics = trainer.train_step(state, jb, rng)
+        for key in ("loss", "recall", "precision", "pose_mid", "pose_mean",
+                    "pose_offsets"):
+            assert np.isfinite(float(metrics[key])), key
+        assert 0.0 <= float(metrics["recall"]) <= 1.0
+        # pose_mid predicts the cell middle — error must be < cell diagonal
+        assert float(metrics["pose_mid"]) < np.sqrt(2)
+
+        em, _ = trainer.eval_step(state, jb, rng)
+        assert np.isfinite(float(em["pose_offsets"]))
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def pipeline(self, setup):
+        cells, poses, cfg, vocab = setup
+        ecfg = EvalConfig(
+            top_k=(1, 3, 5), threshs=(5, 10, 15), pad_size=cfg.pad_size,
+            num_mentioned=cfg.num_mentioned, max_hint_len=cfg.max_hint_len,
+            max_text_len=cfg.max_text_len,
+            pointnet_numpoints=cfg.pointnet_numpoints)
+        coarse_loader = CoarseLoader(
+            cells, poses, vocab, cfg.batch_size, cfg.coarse_max_objects,
+            cfg.pointnet_numpoints, cfg.max_text_len)
+        coarse = CoarseTrainer(cfg, vocab)
+        fine = FineTrainer(cfg, vocab)
+        rng = jax.random.PRNGKey(0)
+        cbatch = next(coarse_loader.epoch(seed=0))
+        cstate = coarse.init_state(cbatch, rng, 1)
+        floader = FineLoader(cells, poses, vocab, cfg.batch_size, cfg.pad_size,
+                             cfg.num_mentioned, cfg.pointnet_numpoints,
+                             cfg.max_hint_len)
+        fbatch = next(floader.epoch(seed=0))
+        fstate = fine.init_state(fbatch, rng, 1)
+        pipe = LocalizationPipeline(coarse, cstate, fine, fstate, ecfg)
+        return pipe, coarse_loader, poses, vocab
+
+    def test_run_coarse(self, pipeline):
+        pipe, loader, poses, vocab = pipeline
+        top_idx, accs = pipe.run_coarse(loader, poses)
+        assert top_idx.shape == (len(poses), 5)
+        for k in (1, 3, 5):
+            for t in (5, 10, 15):
+                assert 0.0 <= accs[k][t] <= 1.0
+        # monotonic in k and threshold
+        assert accs[1][5] <= accs[5][15]
+
+    def test_coarse_oracle_perfect_at_15m(self, pipeline):
+        pipe, loader, poses, vocab = pipeline
+        pipe.cfg = dataclasses.replace(pipe.cfg, coarse_oracle=True)
+        try:
+            top_idx, accs = pipe.run_coarse(loader, poses)
+        finally:
+            pipe.cfg = dataclasses.replace(pipe.cfg, coarse_oracle=False)
+        # oracle retrieval + center prediction: all poses are inside their
+        # best cell (30m), so center prediction is within ~21m; at 15m most
+        # synthetic poses (central region) must hit.
+        assert accs[1][15] >= 0.9
+
+    def test_fine_oracle_beats_random(self, pipeline):
+        pipe, loader, poses, vocab = pipeline
+        pipe.cfg = dataclasses.replace(pipe.cfg, coarse_oracle=True)
+        try:
+            top_idx, _ = pipe.run_coarse(loader, poses)
+        finally:
+            pipe.cfg = dataclasses.replace(pipe.cfg, coarse_oracle=False)
+        oracle = pipe.run_fine_oracle(loader, poses, top_idx)
+        rand = pipe.run_fine_oracle(loader, poses, top_idx, random_oracle=True)
+        assert oracle[1][5] == 1.0  # perfect in-cell location ⇒ 0m error
+        assert oracle[1][5] >= rand[1][5]
+
+    def test_run_fine(self, pipeline):
+        pipe, loader, poses, vocab = pipeline
+        top_idx, _ = pipe.run_coarse(loader, poses)
+        accs_mean, accs_offsets, accs_conf = pipe.run_fine(
+            loader, poses, top_idx, vocab, chunk=4)
+        for accs in (accs_mean, accs_offsets):
+            for k in (1, 3, 5):
+                for t in (5, 10, 15):
+                    assert 0.0 <= accs[k][t] <= 1.0
+        assert 1 in accs_conf

@@ -1,0 +1,136 @@
+"""Shared flax building blocks: masked BatchNorm and the reference MLPs.
+
+The reference builds nearly every sub-network from ``get_mlp`` — stacks of
+Linear + BatchNorm1d + ReLU *including a trailing ReLU*
+(/root/reference/models/modules.py:11-36) — and SuperGlue's ``MLP`` which
+puts BN+ReLU only *between* layers (/root/reference/models/superglue.py:53-64).
+
+Because the TPU path is dense+padded, BatchNorm must compute its batch
+statistics over valid elements only (the reference's ragged batches contain
+only real elements); ``MaskedBatchNorm`` does exactly that and otherwise
+follows torch BatchNorm1d semantics (eps 1e-5, momentum 0.1, biased batch
+variance for normalization, unbiased for the running estimate).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over all leading axes with an optional validity mask."""
+
+    momentum: float = 0.1  # torch convention: new = (1−m)·old + m·batch
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                count = jnp.asarray(
+                    jnp.prod(jnp.asarray(x.shape[:-1])), jnp.float32)
+                mean = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
+                var = jnp.mean(
+                    (x.astype(jnp.float32) - mean) ** 2, axis=reduce_axes)
+            else:
+                m = jnp.broadcast_to(
+                    mask.astype(jnp.float32).reshape(mask.shape + (1,) * (x.ndim - mask.ndim)),
+                    x.shape,
+                )
+                count = jnp.maximum(jnp.sum(m[..., 0]), 1.0)
+                xf = x.astype(jnp.float32)
+                mean = jnp.sum(xf * m, axis=reduce_axes) / count
+                var = jnp.sum(((xf - mean) ** 2) * m, axis=reduce_axes) / count
+
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+
+        inv = jnp.asarray(1.0, jnp.float32) / jnp.sqrt(var + self.eps)
+        out = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return out.astype(x.dtype)
+
+
+class MLP(nn.Module):
+    """``get_mlp`` equivalent: (Dense → BN → ReLU) per layer, trailing ReLU.
+
+    ``channels`` lists layer output sizes (the input size is inferred), so
+    ``MLP([64, 128])`` ≙ reference ``get_mlp([in, 64, 128])``.
+    """
+
+    channels: Sequence[int]
+    add_batchnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> jnp.ndarray:
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            if self.add_batchnorm:
+                x = MaskedBatchNorm(name=f"bn_{i}")(x, mask=mask, train=train)
+            x = nn.relu(x)
+        return x
+
+
+class HeadMLP(nn.Module):
+    """Offset-head MLP: Dense layers with ReLU between, bare final layer.
+
+    Mirrors ``get_mlp_offset`` (/root/reference/models/superglue_matcher.py:29-48).
+    """
+
+    channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            if i < len(self.channels) - 1:
+                x = nn.relu(x)
+        return x
+
+
+class SuperGlueMLP(nn.Module):
+    """SuperGlue-style MLP: BN+ReLU between layers only, zero-init last bias.
+
+    Mirrors reference superglue.py:53-64 (Conv1d k=1 ≡ Dense over the last
+    axis) plus the zero bias init applied at its call sites
+    (superglue.py:123).
+    """
+
+    channels: Sequence[int]
+    do_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> jnp.ndarray:
+        n = len(self.channels)
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            if i < n - 1:
+                if self.do_bn:
+                    x = MaskedBatchNorm(name=f"bn_{i}")(x, mask=mask, train=train)
+                x = nn.relu(x)
+        return x
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch ``F.normalize`` equivalent."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)

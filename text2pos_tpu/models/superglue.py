@@ -1,0 +1,134 @@
+"""SuperGlue-style attentional matching over object/hint descriptor sets.
+
+TPU-native rebuild of the matching middle-end the reference adapts from
+SuperGlue (/root/reference/models/superglue.py:90-330): alternating
+self/cross multi-head attention blocks with residual MLPs, a final linear
+projection, a scaled dot-product score matrix, log-domain Sinkhorn optimal
+transport with a learned dustbin, and mutual-max match extraction.
+
+Descriptors live in [B, N, D] layout (vs the reference's [B, D, N] Conv1d
+layout) — the natural layout for MXU einsums. The keypoint encoder of the
+original SuperGlue is unused by the reference (superglue.py:271-273) and is
+omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from text2pos_tpu.models.blocks import SuperGlueMLP
+from text2pos_tpu.ops.sinkhorn import extract_matches, log_optimal_transport
+
+
+class MultiHeadedAttention(nn.Module):
+    """4-head attention (reference superglue.py:97-115)."""
+
+    num_heads: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
+                 value: jnp.ndarray) -> jnp.ndarray:
+        assert self.d_model % self.num_heads == 0
+        dim = self.d_model // self.num_heads
+
+        def proj(x, name):
+            h = nn.Dense(self.d_model, name=name)(x)
+            B, N, _ = h.shape
+            return h.reshape(B, N, self.num_heads, dim)
+
+        q = proj(query, "proj_q")
+        k = proj(key, "proj_k")
+        v = proj(value, "proj_v")
+
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / (dim ** 0.5)
+        prob = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", prob, v)
+        out = out.reshape(query.shape[0], query.shape[1], self.d_model)
+        return nn.Dense(self.d_model, name="merge")(out)
+
+
+class AttentionalPropagation(nn.Module):
+    """x ← x + MLP([x, attn(x, source)]) (reference superglue.py:118-127)."""
+
+    feature_dim: int
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, source: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        message = MultiHeadedAttention(self.num_heads, self.feature_dim,
+                                       name="attn")(x, source, source)
+        h = jnp.concatenate([x, message], axis=-1)
+        return SuperGlueMLP((self.feature_dim * 2, self.feature_dim),
+                            name="mlp")(h, train=train)
+
+
+class AttentionalGNN(nn.Module):
+    """Alternating self/cross attention blocks (reference superglue.py:130-146).
+
+    Each block is applied to both descriptor sets with *shared* weights,
+    exactly like the reference (one ``layer`` call per set).
+    """
+
+    feature_dim: int
+    layer_names: Tuple[str, ...]
+
+    @nn.compact
+    def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
+                 train: bool = True):
+        for i, name in enumerate(self.layer_names):
+            layer = AttentionalPropagation(self.feature_dim, name=f"layer_{i}")
+            if name == "cross":
+                src0, src1 = desc1, desc0
+            else:
+                src0, src1 = desc0, desc1
+            delta0 = layer(desc0, src0, train=train)
+            delta1 = layer(desc1, src1, train=train)
+            desc0 = desc0 + delta0
+            desc1 = desc1 + delta1
+        return desc0, desc1
+
+
+class SuperGlue(nn.Module):
+    """GNN + final projection + Sinkhorn + match extraction
+    (reference superglue.py:239-330)."""
+
+    descriptor_dim: int
+    num_layers: int = 6            # self/cross pairs; total blocks = 2·num_layers
+    sinkhorn_iterations: int = 50
+    match_threshold: float = 0.2
+
+    @nn.compact
+    def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
+                 train: bool = True) -> Dict[str, jnp.ndarray]:
+        """Args:
+            desc0: [B, M, D] object descriptors
+            desc1: [B, N, D] hint descriptors
+
+        Returns dict with P [B, M+1, N+1] (transport probabilities incl.
+        dustbins), matches0/1, matching_scores0/1.
+        """
+        if self.num_layers > 0:
+            names = tuple(["self", "cross"] * self.num_layers)
+            desc0, desc1 = AttentionalGNN(self.descriptor_dim, names,
+                                          name="gnn")(desc0, desc1, train=train)
+
+        final = nn.Dense(self.descriptor_dim, name="final_proj")
+        mdesc0, mdesc1 = final(desc0), final(desc1)
+
+        scores = jnp.einsum("bmd,bnd->bmn", mdesc0, mdesc1)
+        scores = scores / (self.descriptor_dim ** 0.5)
+
+        bin_score = self.param("bin_score",
+                               lambda key: jnp.asarray(1.0, jnp.float32))
+        Z = log_optimal_transport(scores, bin_score, self.sinkhorn_iterations)
+
+        out = extract_matches(Z, self.match_threshold)
+        out["P"] = jnp.exp(Z)
+        out["log_P"] = Z
+        return out

@@ -53,6 +53,7 @@ def ball_query(centroids: jnp.ndarray, points: jnp.ndarray, radius: float,
     """
     B, S, _ = centroids.shape
     N = points.shape[1]
+    max_neighbors = min(max_neighbors, N)
     d2 = pairwise_sqdist(centroids, points)                 # [B, S, N]
     in_ball = d2 <= radius * radius
 
@@ -85,6 +86,7 @@ def masked_knn(x: jnp.ndarray, mask: jnp.ndarray, k: int,
                where the query element itself is invalid)
     """
     B, M, _ = x.shape
+    k = min(k, M)
     d2 = pairwise_sqdist(x, x)                               # [B, M, M]
     big = jnp.asarray(jnp.inf, d2.dtype)
     pair_ok = mask[:, :, None] & mask[:, None, :]

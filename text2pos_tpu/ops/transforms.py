@@ -40,6 +40,26 @@ def fixed_points(xyz: jnp.ndarray, rgb: jnp.ndarray, counts: jnp.ndarray,
     return take(xyz), take(rgb)
 
 
+def prepare_object_points(xyz: jnp.ndarray, rgb: jnp.ndarray,
+                          counts: jnp.ndarray, num_points: int, rng: jax.Array,
+                          augment: bool, no_pc_augment: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full on-device point pipeline matching the reference transforms.
+
+    train:  FixedPoints → RandomRotate(±120°, z) → NormalizeScale
+    eval:   FixedPoints → NormalizeScale
+    no_pc_augment: FixedPoints only
+    (reference training/coarse.py:189-199).
+    """
+    k_sample, k_rot = jax.random.split(rng)
+    sx, sr = fixed_points(xyz, rgb, counts, num_points, k_sample)
+    if no_pc_augment:
+        return sx, sr
+    if augment:
+        sx = random_rotate_z(sx, k_rot)
+    return normalize_scale(sx), sr
+
+
 def random_rotate_z(xyz: jnp.ndarray, rng: jax.Array,
                     max_degrees: float = 120.0) -> jnp.ndarray:
     """Rotate each object independently around the z axis by U(−max, max)°.

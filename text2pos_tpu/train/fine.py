@@ -1,0 +1,223 @@
+"""Fine matching-stage training.
+
+TPU-native rebuild of /root/reference/training/fine.py:
+ - loss = matching NLL + 5 · MSE(offsets) (fine.py:56-63)
+ - per-batch recall/precision and three pose-error variants
+   (fine.py:77-112), computed on device
+ - warm-up: lr 1e-5 for the first 3 epochs, then the target lr
+   (fine.py:317-323)
+ - best checkpoint by mean(recall, precision) after half the epochs
+   (fine.py:358-378)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from text2pos_tpu.config import TrainConfig
+from text2pos_tpu.data.dense import NUM_CLASS_INDICES, NUM_COLOR_INDICES
+from text2pos_tpu.data.hints import Vocabulary
+from text2pos_tpu.data.loaders import FineLoader
+from text2pos_tpu.models.matcher import SuperGlueMatch
+from text2pos_tpu.ops.transforms import prepare_object_points
+from text2pos_tpu.train.losses import (
+    calc_pose_error,
+    calc_recall_precision,
+    matching_loss,
+)
+from text2pos_tpu.train.state import TrainState, make_optimizer, save_checkpoint
+
+WARMUP_LR = 1e-5
+WARMUP_EPOCHS = 3
+OFFSET_LOSS_WEIGHT = 5.0  # reference fine.py:61-63
+
+
+def build_model(cfg: TrainConfig, vocab_size: int) -> SuperGlueMatch:
+    return SuperGlueMatch(
+        vocab_size=vocab_size,
+        embed_dim=cfg.embed_dim,
+        num_layers=cfg.num_layers,
+        sinkhorn_iters=cfg.sinkhorn_iters,
+        num_classes=NUM_CLASS_INDICES,
+        num_colors=NUM_COLOR_INDICES,
+        use_features=cfg.use_features,
+        class_embed=cfg.class_embed,
+        color_embed=cfg.color_embed,
+        pointnet_features=cfg.pointnet_features,
+    )
+
+
+class FineTrainer:
+    def __init__(self, cfg: TrainConfig, vocab: Vocabulary):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.model = build_model(cfg, vocab.size)
+
+    def _prep(self, batch, rng, augment):
+        """On-device point pipeline over the [B, O, P, 3] padded objects."""
+        return prepare_object_points(
+            batch["points_xyz"], batch["points_rgb"], batch["point_count"],
+            self.cfg.pointnet_numpoints, rng, augment=augment,
+            no_pc_augment=self.cfg.no_pc_augment,
+        )
+
+    def init_state(self, batch: Dict[str, np.ndarray], rng: jax.Array,
+                   steps_per_epoch: int, learning_rate: Optional[float] = None
+                   ) -> TrainState:
+        pts, cols = self._prep({k: jnp.asarray(v) for k, v in batch.items()
+                                if isinstance(v, np.ndarray)}, rng, False)
+        variables = self.model.init(
+            rng, jnp.asarray(batch["hint_tokens"]),
+            jnp.asarray(batch["hint_lengths"]), pts, cols,
+            jnp.asarray(batch["centers"]), jnp.asarray(batch["colors"]),
+            jnp.asarray(batch["class_idx"]), jnp.asarray(batch["color_idx"]),
+        )
+        lr = learning_rate or self.cfg.learning_rate
+        # Warm-up at 1e-5 for the first epochs, then the target LR; both
+        # phases decay exponentially per epoch (reference fine.py:317-323).
+        boundary = WARMUP_EPOCHS * steps_per_epoch
+
+        def lr_schedule(step):
+            decayed_epoch = step // max(steps_per_epoch, 1)
+            base = jnp.where(step < boundary, WARMUP_LR, lr)
+            return base * (self.cfg.lr_gamma ** decayed_epoch)
+
+        tx = optax.adam(lr_schedule)
+        return TrainState.create(variables["params"],
+                                 variables.get("batch_stats", {}), tx)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        pts, cols = self._prep(batch, rng, augment=True)
+
+        def loss_fn(params):
+            out, updates = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["hint_tokens"], batch["hint_lengths"], pts, cols,
+                batch["centers"], batch["colors"], batch["class_idx"],
+                batch["color_idx"], train=True, mutable=["batch_stats"],
+            )
+            loss_match = matching_loss(out["log_P"], batch["all_matches"],
+                                       batch["all_matches_count"])
+            loss_off = jnp.mean((out["offsets"] - batch["offsets"]) ** 2)
+            loss = loss_match + OFFSET_LOSS_WEIGHT * loss_off
+            return loss, (updates["batch_stats"], out, loss_match, loss_off)
+
+        (loss, (new_bs, out, lm, lo)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_bs)
+
+        metrics = self._batch_metrics(out, batch)
+        metrics.update(loss=loss, loss_matching=lm, loss_offsets=lo)
+        return state, metrics
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                  rng: jax.Array):
+        pts, cols = self._prep(batch, rng, augment=False)
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["hint_tokens"], batch["hint_lengths"], pts, cols,
+            batch["centers"], batch["colors"], batch["class_idx"],
+            batch["color_idx"], train=False,
+        )
+        return self._batch_metrics(out, batch), out
+
+    def _batch_metrics(self, out, batch):
+        recall, precision = calc_recall_precision(
+            batch["gt_obj_for_hint"], out["matches0"], out["matches1"])
+        centers_xy = batch["centers"][..., 0:2]
+        poses_xy = batch["pose_in_cell"][..., 0:2]
+        return dict(
+            recall=recall,
+            precision=precision,
+            pose_mid=calc_pose_error(centers_xy, out["matches0"], poses_xy,
+                                     use_mid_pred=True),
+            pose_mean=calc_pose_error(centers_xy, out["matches0"], poses_xy,
+                                      offsets=None),
+            pose_offsets=calc_pose_error(centers_xy, out["matches0"], poses_xy,
+                                         offsets=out["offsets"]),
+        )
+
+    def run_epoch(self, state: TrainState, loader: FineLoader, epoch: int,
+                  rng: jax.Array, train: bool):
+        stats = {}
+        for i, batch in enumerate(loader.epoch(
+                seed=self.cfg.seed * 10_000 + epoch, shuffle=train)):
+            if train and self.cfg.max_batches is not None and i >= self.cfg.max_batches:
+                break
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ("num_real", "pose_idx")}
+            step_rng = jax.random.fold_in(rng, epoch * 100_000 + i)
+            if train:
+                state, metrics = self.train_step(state, jb, step_rng)
+            else:
+                metrics, _ = self.eval_step(state, jb, step_rng)
+            for k, v in metrics.items():
+                stats.setdefault(k, []).append(float(v))
+        return state, {k: float(np.mean(v)) for k, v in stats.items()}
+
+
+def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
+          checkpoint_dir: str = "./checkpoints", log=print):
+    """Full fine-stage training driver (reference fine.py:211-401)."""
+    from text2pos_tpu.data.hints import build_vocabulary, create_hint_description
+
+    vocab = Vocabulary(build_vocabulary(
+        [create_hint_description(p) for p in poses_train]))
+
+    def make_loader(cells, poses):
+        return FineLoader(
+            cells, poses, vocab, cfg.batch_size, cfg.pad_size,
+            cfg.num_mentioned, cfg.pointnet_numpoints, cfg.max_hint_len,
+            regressor_cell=cfg.regressor_cell,
+            regressor_learn=cfg.regressor_learn, seed=cfg.seed,
+        )
+
+    loader_train = make_loader(cells_train, poses_train)
+    loader_val = make_loader(cells_val, poses_val)
+
+    trainer = FineTrainer(cfg, vocab)
+    rng = jax.random.PRNGKey(cfg.seed)
+    first_batch = next(loader_train.epoch(seed=cfg.seed))
+    steps_per_epoch = loader_train.num_batches(drop_last=True)
+    state = trainer.init_state(first_batch, rng, steps_per_epoch)
+
+    history = {"train": [], "val": []}
+    best_acc, best_path = -1.0, None
+    for epoch in range(cfg.epochs):
+        t0 = time.time()
+        state, train_stats = trainer.run_epoch(state, loader_train, epoch, rng,
+                                               train=True)
+        _, val_stats = trainer.run_epoch(state, loader_val, epoch, rng,
+                                         train=False)
+        history["train"].append(train_stats)
+        history["val"].append(val_stats)
+        log(f"epoch {epoch} loss {train_stats.get('loss', float('nan')):0.3f} "
+            f"t-recall {train_stats['recall']:0.2f} t-prec {train_stats['precision']:0.2f} "
+            f"v-recall {val_stats['recall']:0.2f} v-prec {val_stats['precision']:0.2f} "
+            f"v-offset {val_stats['pose_offsets']:0.3f} ({time.time()-t0:0.1f}s)")
+
+        if epoch >= cfg.epochs // 2:
+            acc = float(np.mean((val_stats["recall"], val_stats["precision"])))
+            if acc > best_acc:
+                path = os.path.join(
+                    checkpoint_dir,
+                    f"fine_acc{acc:0.2f}_obj-{cfg.num_mentioned}-{cfg.pad_size}.msgpack")
+                save_checkpoint(path, state, extra={"val_acc": acc,
+                                                    "vocab_size": vocab.size})
+                if best_path and best_path != path and os.path.isfile(best_path):
+                    os.remove(best_path)
+                best_acc, best_path = acc, path
+
+    return state, {"history": history, "vocab": vocab, "best_path": best_path,
+                   "trainer": trainer}

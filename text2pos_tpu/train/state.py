@@ -1,0 +1,97 @@
+"""Train state, optimizer schedules and checkpointing helpers.
+
+Replaces the reference's Adam + ExponentialLR + whole-model-pickle policy
+(/root/reference/training/coarse.py:272-335) with optax + orbax pytree
+checkpoints. ``lr_logspace`` reproduces the reference's LR sweep grids
+(coarse: logspace(-2.5, -3.5, 3), fine: logspace(-3, -4, 3);
+coarse.py:247, fine.py:277).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state carrying params + BatchNorm running stats."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=(new_batch_stats
+                         if new_batch_stats is not None else self.batch_stats),
+            opt_state=new_opt_state,
+        )
+
+
+def lr_logspace(start: float, stop: float, num: int) -> np.ndarray:
+    return np.logspace(start, stop, num)
+
+
+def make_optimizer(learning_rate: float, lr_gamma: float = 1.0,
+                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Adam with per-epoch exponential decay, like torch ExponentialLR.
+
+    torch's scheduler multiplies the LR by ``lr_gamma`` after each *epoch*;
+    we express it as a step schedule with the epoch length baked in.
+    """
+    if lr_gamma == 1.0:
+        sched = learning_rate
+    else:
+        def sched(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return learning_rate * (lr_gamma ** epoch)
+
+    return optax.adam(sched)
+
+
+def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None
+                    ) -> None:
+    """Msgpack pytree checkpoint (params + batch_stats [+ metadata])."""
+    payload = {
+        "params": flax.serialization.to_state_dict(state.params),
+        "batch_stats": flax.serialization.to_state_dict(state.batch_stats),
+        "extra": extra or {},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def restore_variables(path: str) -> Dict[str, Any]:
+    """Load a checkpoint as flax variables {'params': ..., 'batch_stats': ...}."""
+    payload = load_checkpoint(path)
+    return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
