@@ -1,0 +1,173 @@
+"""End-to-end localization throughput benchmark (single TPU chip).
+
+Measures the serving path of the rebuilt Text2Pos pipeline at the published
+evaluation protocol (top-10 retrieval, pad_size 16, 256 points/object,
+embed 256 coarse / 128 fine, 6 attention layer pairs, 50 Sinkhorn
+iterations — reference README.md:61-62, evaluation/args.py:22-26,53):
+
+    text query → LSTM encode → top-10 cell retrieval over the DB →
+    SuperGlue fine matching vs each retrieved cell → world position
+
+against a pre-encoded cell database (the map is static at serving time).
+
+``vs_baseline`` compares the batched, fully-jitted pipeline against a
+*reference-style* execution of the same models on the same chip: one query
+at a time, retrieval as a host numpy matmul + argsort, fine matching with
+batch = top-k only — the execution pattern of the PyTorch reference
+(/root/reference/evaluation/pipeline.py:190-202, training/coarse.py:134-158),
+which processes poses in a Python loop with per-step host↔device traffic.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Benchmark scale: a KITTI360Pose-val-sized problem.
+NUM_CELLS_GRID = 16          # 16×16 grid → ~256 DB cells
+NUM_QUERIES = 128
+TOP_K = 10
+BASELINE_QUERIES = 8         # reference-style loop is slow; sample it
+
+COARSE_DIM = 256
+FINE_DIM = 128
+
+
+def build():
+    import jax
+
+    from text2pos_tpu.config import EvalConfig, TrainConfig
+    from text2pos_tpu.data.hints import (
+        Vocabulary, build_vocabulary, create_hint_description)
+    from text2pos_tpu.data.loaders import CoarseLoader, FineLoader
+    from text2pos_tpu.data.synthetic import make_synthetic_dataset
+    from text2pos_tpu.evaluation.pipeline import LocalizationPipeline
+    from text2pos_tpu.train.coarse import CoarseTrainer
+    from text2pos_tpu.train.fine import FineTrainer
+
+    cells, poses = make_synthetic_dataset(
+        seed=0, extent=30.0 * NUM_CELLS_GRID, cell_size=30.0,
+        poses_per_cell=1, objects_per_cell_area=12)
+    rng_np = np.random.default_rng(0)
+    while len(poses) < NUM_QUERIES:
+        poses = poses + poses
+    poses = poses[:NUM_QUERIES]
+
+    ccfg = TrainConfig(batch_size=64, embed_dim=COARSE_DIM, num_layers=6,
+                       sinkhorn_iters=50, pointnet_numpoints=256,
+                       coarse_max_objects=24, pad_size=16, num_mentioned=6)
+    fcfg = TrainConfig(batch_size=32, embed_dim=FINE_DIM, num_layers=6,
+                       sinkhorn_iters=50, pointnet_numpoints=256,
+                       coarse_max_objects=24, pad_size=16, num_mentioned=6)
+    ecfg = EvalConfig(top_k=(1, 5, TOP_K), threshs=(5, 10, 15), pad_size=16,
+                      num_mentioned=6, pointnet_numpoints=256)
+
+    vocab = Vocabulary(build_vocabulary(
+        [create_hint_description(p) for p in poses]))
+
+    coarse_loader = CoarseLoader(cells, poses, vocab, ccfg.batch_size,
+                                 ccfg.coarse_max_objects,
+                                 ccfg.pointnet_numpoints, ccfg.max_text_len)
+    coarse = CoarseTrainer(ccfg, vocab)
+    fine = FineTrainer(fcfg, vocab)
+
+    rng = jax.random.PRNGKey(0)
+    cbatch = next(coarse_loader.epoch(seed=0, drop_last=False))
+    cstate = coarse.init_state(cbatch, rng, 1)
+    floader = FineLoader(cells, poses, vocab, fcfg.batch_size, fcfg.pad_size,
+                         fcfg.num_mentioned, fcfg.pointnet_numpoints,
+                         fcfg.max_hint_len)
+    fbatch = next(floader.epoch(seed=0, drop_last=False))
+    fstate = fine.init_state(fbatch, rng, 1)
+
+    pipe = LocalizationPipeline(coarse, cstate, fine, fstate, ecfg)
+    return pipe, coarse_loader, poses, vocab
+
+
+def run():
+    import jax
+    import jax.numpy as jnp
+
+    from text2pos_tpu.ops.retrieval import topk_retrieval
+
+    pipe, loader, poses, vocab = build()
+    bank = loader.bank
+    print(f"# bench: {bank.num_cells} DB cells, {len(poses)} queries, "
+          f"devices={jax.devices()}", flush=True)
+
+    # ------------------------------------------------------------------
+    # Offline: pre-encode the cell database (timed separately).
+    # ------------------------------------------------------------------
+    t0 = time.time()
+    cell_enc = pipe.coarse.encode_all_cells(
+        pipe.coarse_state, bank, jax.random.PRNGKey(0))
+    cell_enc_dev = jnp.asarray(cell_enc)
+    print(f"# db encode: {bank.num_cells} cells in {time.time()-t0:0.1f}s "
+          f"(incl. compile)", flush=True)
+
+    # ------------------------------------------------------------------
+    # Serving path, batched + jitted (warm up once, then time).
+    # ------------------------------------------------------------------
+    chunk = 16
+
+    def serve_all():
+        text_enc = pipe.coarse.encode_all_queries(pipe.coarse_state, loader)
+        _, top_idx = topk_retrieval(jnp.asarray(text_enc), cell_enc_dev, TOP_K)
+        top_idx = np.asarray(top_idx)
+        accs_mean, accs_off, _ = pipe.run_fine(loader, poses, top_idx, vocab,
+                                               chunk=chunk)
+        return top_idx, accs_off
+
+    t0 = time.time()
+    serve_all()  # compile
+    print(f"# pipeline compile+first run: {time.time()-t0:0.1f}s", flush=True)
+
+    t0 = time.time()
+    top_idx, accs = serve_all()
+    elapsed = time.time() - t0
+    qps = len(poses) / elapsed
+    print(f"# steady-state: {len(poses)} queries in {elapsed:0.3f}s "
+          f"→ {qps:0.1f} q/s; top-{TOP_K}@15m(synthetic)={accs[TOP_K][15]:0.2f}",
+          flush=True)
+
+    # ------------------------------------------------------------------
+    # Reference-style execution: per-query host loop (same models, same
+    # chip, the reference's batching pattern).
+    # ------------------------------------------------------------------
+    tokens, lengths = loader.all_query_tokens()
+    B = pipe.coarse.cfg.batch_size
+    cell_enc_np = np.asarray(cell_enc)
+
+    def one_query(qi):
+        tk = np.zeros((B, tokens.shape[1]), tokens.dtype)
+        ln = np.ones(B, lengths.dtype)
+        tk[0], ln[0] = tokens[qi], lengths[qi]
+        enc = np.asarray(pipe.coarse.encode_text_step(
+            pipe.coarse_state, jnp.asarray(tk), jnp.asarray(ln)))[0]
+        scores = cell_enc_np @ enc                       # host matmul
+        order = np.argsort(-scores)[:TOP_K]              # host argsort
+        pipe.run_fine(loader, [poses[qi]], order[None], vocab, chunk=1)
+
+    one_query(0)  # compile the chunk=1 path
+    t0 = time.time()
+    for qi in range(BASELINE_QUERIES):
+        one_query(qi)
+    ref_elapsed = time.time() - t0
+    ref_qps = BASELINE_QUERIES / ref_elapsed
+    print(f"# reference-style loop: {BASELINE_QUERIES} queries in "
+          f"{ref_elapsed:0.3f}s → {ref_qps:0.1f} q/s", flush=True)
+
+    print(json.dumps({
+        "metric": "localization_queries_per_sec",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / ref_qps, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    run()

@@ -15,6 +15,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize overrides jax_platforms to
+# "axon,cpu" regardless of env vars; force pure-CPU before any backend
+# initialization so the virtual 8-device mesh is used.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - backend already initialized
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,250 @@
+"""Data-preparation tests: PLY IO, voxel downsample, DBSCAN, prepare driver,
+legacy pickle loading."""
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from text2pos_tpu.config import PrepareConfig
+from text2pos_tpu.constants import CLASS_TO_LABEL
+from text2pos_tpu.data.cluster import dbscan_labels
+from text2pos_tpu.data.dense import build_cell_bank, class_index
+from text2pos_tpu.data.legacy import load_reference_scene, load_scenes
+from text2pos_tpu.data.ply import load_points, read_ply
+from text2pos_tpu.data.prepare import (
+    create_cells,
+    create_poses,
+    extract_objects,
+    gather_objects,
+)
+from text2pos_tpu.data.structs import Cell, Object3d, Pose
+from text2pos_tpu.data.voxel import voxel_downsample_indices
+
+
+def write_binary_ply(path, xyz, rgb, sem, inst):
+    n = len(xyz)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "property int semantic\nproperty int instance\n"
+        "end_header\n"
+    )
+    dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                   ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+                   ("semantic", "<i4"), ("instance", "<i4")])
+    data = np.zeros(n, dt)
+    data["x"], data["y"], data["z"] = xyz.T.astype(np.float32)
+    data["red"], data["green"], data["blue"] = (rgb.T * 255).astype(np.uint8)
+    data["semantic"] = sem
+    data["instance"] = inst
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        data.tofile(f)
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path, rng):
+        xyz = rng.random((50, 3)).astype(np.float64) * 10
+        rgb = rng.random((50, 3))
+        sem = rng.integers(0, 40, 50)
+        inst = rng.integers(0, 5, 50)
+        path = str(tmp_path / "test.ply")
+        write_binary_ply(path, xyz, rgb, sem, inst)
+        x2, r2, s2, i2 = load_points(path)
+        np.testing.assert_allclose(x2, xyz, atol=1e-5)
+        np.testing.assert_allclose(r2, rgb, atol=1 / 255.0)
+        np.testing.assert_array_equal(s2, sem)
+        np.testing.assert_array_equal(i2, inst)
+
+
+class TestVoxel:
+    def test_keeps_first_per_voxel(self):
+        pts = np.array([
+            [0.0, 0.0, 0.0], [0.1, 0.1, 0.1],   # same voxel (size 0.25)
+            [0.3, 0.0, 0.0],                      # next voxel in x
+            [0.0, 0.0, 0.0],                      # duplicate of first voxel
+        ])
+        idx = voxel_downsample_indices(pts, 0.25)
+        np.testing.assert_array_equal(idx, [0, 2])
+
+    def test_density(self, rng):
+        pts = rng.random((5000, 3))
+        idx = voxel_downsample_indices(pts, 0.1)
+        assert len(idx) <= 11 ** 3
+        assert len(idx) > 500
+
+
+class TestDBSCAN:
+    def test_two_clusters(self, rng):
+        a = rng.normal(scale=0.1, size=(200, 3))
+        b = rng.normal(scale=0.1, size=(200, 3)) + 10.0
+        labels = dbscan_labels(np.vstack([a, b]), eps=0.75)
+        la, lb = set(labels[:200]), set(labels[200:])
+        assert len(la) == 1 and len(lb) == 1 and la != lb
+
+    def test_numpy_matches_sklearn(self, rng):
+        pts = np.vstack([
+            rng.normal(scale=0.2, size=(100, 3)),
+            rng.normal(scale=0.2, size=(100, 3)) + 5.0,
+            rng.uniform(-20, 20, (10, 3)),  # sparse noise
+        ])
+        sk = dbscan_labels(pts, eps=0.75, min_samples=5)
+        mine = dbscan_labels(pts, eps=0.75, min_samples=5, force_numpy=True)
+        # Same partition (labels may be permuted): compare co-membership.
+        for labels in (sk, mine):
+            assert labels.shape == (210,)
+        same_sk = sk[:, None] == sk[None, :]
+        same_my = mine[:, None] == mine[None, :]
+        core = (sk >= 0) & (mine >= 0)
+        np.testing.assert_array_equal(same_sk[core][:, core], same_my[core][:, core])
+
+
+def _fake_kitti_scene(tmp_path, rng, scene="2013_05_28_drive_0000_sync"):
+    """Synthesize a mini KITTI360 directory: plys + poses.txt."""
+    static = tmp_path / "data_3d_semantics" / scene / "static"
+    posed = tmp_path / "data_poses" / scene
+    static.mkdir(parents=True)
+    posed.mkdir(parents=True)
+
+    all_xyz, all_rgb, all_sem, all_inst = [], [], [], []
+    inst_id = 100
+    # A line of buildings + poles along a "street" on y=0.
+    for x in range(0, 120, 15):
+        for label, n_pts, spread in (("building", 400, 4.0), ("pole", 60, 0.4)):
+            center = np.array([x, 5.0 if label == "building" else -3.0, 2.0])
+            xyz = center + rng.normal(scale=spread, size=(n_pts, 3))
+            all_xyz.append(xyz)
+            all_rgb.append(np.clip(rng.random(3) + rng.normal(
+                scale=0.02, size=(n_pts, 3)), 0, 1))
+            all_sem.append(np.full(n_pts, CLASS_TO_LABEL[label]))
+            all_inst.append(np.full(n_pts, inst_id))
+            inst_id += 1
+
+    xyz = np.vstack(all_xyz)
+    write_binary_ply(str(static / "chunk0.ply"), xyz, np.vstack(all_rgb),
+                     np.concatenate(all_sem), np.concatenate(all_inst))
+
+    # poses.txt: frame idx + flattened 3x4 matrix; curvy trajectory so the
+    # cell grid has 2-D extent.
+    rows = []
+    for i, x in enumerate(np.linspace(0, 120, 60)):
+        y = 12.0 * np.sin(x / 25.0)
+        mat = np.hstack([np.eye(3), np.array([[x], [y], [2.0]])])
+        rows.append(np.concatenate([[i], mat.flatten()]))
+    np.savetxt(str(posed / "poses.txt"), np.array(rows))
+    return str(tmp_path), scene
+
+
+class TestPrepareDriver:
+    def test_full_prepare_on_fake_scene(self, tmp_path, rng):
+        path_in, scene = _fake_kitti_scene(tmp_path, rng)
+        cfg = PrepareConfig(path_in=path_in, scene_name=scene, cell_size=30,
+                            cell_dist=10, pose_dist=10, pose_count=1,
+                            shift_poses=True, grid_cells=True,
+                            num_mentioned=4, describe_by="closest")
+        np.random.seed(cfg.seed)
+        objects = gather_objects(path_in, scene)
+        assert len(objects) > 0
+        labels = {o.label for o in objects}
+        assert "building" in labels and "pole" in labels
+
+        from text2pos_tpu.data.prepare import create_locations, get_close_locations
+
+        cell_locs = create_locations(path_in, scene, cfg.cell_dist)
+        pose_locs = create_locations(path_in, scene, cfg.pose_dist)
+        cell_locs = get_close_locations(cell_locs, objects, cfg.cell_size)
+        pose_locs = get_close_locations(pose_locs, objects, cfg.cell_size)
+
+        cells = create_cells(objects, cell_locs, scene, cfg)
+        assert len(cells) > 0
+        for c in cells:
+            assert len(c.id) == 10
+            for o in c.objects:
+                assert np.all(o.xyz[:, 0:2] >= -0.5) and np.all(o.xyz[:, 0:2] <= 1.5)
+
+        poses = create_poses(objects, pose_locs, cells, cfg)
+        assert len(poses) > 0
+        for p in poses:
+            assert len(p.descriptions) == cfg.num_mentioned
+            assert np.all(p.pose >= 0) and np.all(p.pose <= 1)
+
+
+class TestLegacyLoader:
+    def test_loads_reference_style_pickles(self, tmp_path, synthetic_data):
+        """Pickles written with the reference's module paths must load."""
+        cells, poses = synthetic_data
+        # Re-pickle under the reference's module names using shim classes.
+        import sys
+        import types
+
+        from text2pos_tpu.data import legacy
+
+        legacy._install_shims()
+        mod = sys.modules["datapreparation.kitti360pose.imports"]
+
+        def as_ref_obj(o):
+            x = mod.Object3d.__new__(mod.Object3d)
+            x.__dict__.update(dict(id=o.id, instance_id=o.instance_id,
+                                   xyz=o.xyz, rgb=o.rgb, label=o.label))
+            return x
+
+        def as_ref_cell(c):
+            x = mod.Cell.__new__(mod.Cell)
+            x.__dict__.update(dict(scene_name=c.scene_name, id=c.id,
+                                   objects=[as_ref_obj(o) for o in c.objects],
+                                   cell_size=c.cell_size, bbox_w=c.bbox_w))
+            return x
+
+        def as_ref_descr(d):
+            x = mod.DescriptionBestCell.__new__(mod.DescriptionBestCell)
+            x.__dict__.update(d.__dict__)
+            return x
+
+        def as_ref_pose(p):
+            x = mod.Pose.__new__(mod.Pose)
+            x.__dict__.update(dict(
+                pose=p.pose, pose_w=p.pose_w, cell_id=p.cell_id,
+                scene_name=p.scene_name, described_by=p.described_by,
+                descriptions=[as_ref_descr(d) for d in p.descriptions]))
+            return x
+
+        scene = "9999"
+        os.makedirs(tmp_path / "cells")
+        os.makedirs(tmp_path / "poses")
+        with open(tmp_path / "cells" / f"{scene}.pkl", "wb") as f:
+            pickle.dump([as_ref_cell(c) for c in cells], f)
+        with open(tmp_path / "poses" / f"{scene}.pkl", "wb") as f:
+            pickle.dump([as_ref_pose(p) for p in poses], f)
+
+        got_cells, got_poses = load_reference_scene(str(tmp_path), scene)
+        assert len(got_cells) == len(cells)
+        assert isinstance(got_cells[0], Cell)
+        assert got_cells[0].id == cells[0].id
+        np.testing.assert_allclose(got_cells[0].objects[0].xyz,
+                                   cells[0].objects[0].xyz)
+        assert isinstance(got_poses[0], Pose)
+        assert got_poses[0].cell_id == poses[0].cell_id
+        assert (got_poses[0].descriptions[0].is_matched
+                == poses[0].descriptions[0].is_matched)
+
+
+class TestDense:
+    def test_class_index(self):
+        assert class_index("building") == 1
+        assert class_index("pad") == 22
+        assert class_index("bogus") == 0
+
+    def test_bank_shapes(self, synthetic_data):
+        cells, _ = synthetic_data
+        bank = build_cell_bank(cells, max_objects=16, points_per_object=64)
+        C = len(cells)
+        assert bank.points_xyz.shape == (C, 16, 64, 3)
+        assert bank.mask.sum() == sum(min(len(c.objects), 16) for c in cells)
+        # stored points are real points of the first valid object
+        c0 = cells[0]
+        assert bank.point_count[0, 0] == min(len(c0.objects[0].xyz), 64)

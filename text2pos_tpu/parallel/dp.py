@@ -1,0 +1,202 @@
+"""Data-parallel training over a JAX device mesh.
+
+The reference has no distributed machinery at all — every job is
+single-GPU (SURVEY.md §2.3; /root/reference/slurm/train_coarse.sh:5). Data
+parallelism is therefore the only multi-chip strategy this framework needs
+(model sizes are <10M params; TP/PP/SP/CP/EP are deliberately out of scope),
+and it is an additive capability:
+
+ - a 1-D ``('dp',)`` mesh over ICI;
+ - batches are stacked as [D, local, ...] microbatches (the flat-packed
+   object buffers are packed per shard so no object crosses a device);
+ - gradients and BatchNorm statistics are averaged with ``lax.pmean``;
+ - optionally the contrastive ranking loss all-gathers both embedding
+   towers for *global* in-batch negatives (the default keeps the reference's
+   single-device loss semantics per shard).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from text2pos_tpu.train.losses import (
+    hardest_ranking_loss,
+    matching_loss,
+    pairwise_ranking_loss,
+)
+from text2pos_tpu.ops.transforms import prepare_object_points
+from text2pos_tpu.train.state import TrainState
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    mesh_devices = mesh_utils.create_device_mesh((n,), devices=devices[:n])
+    return Mesh(mesh_devices, (axis,))
+
+
+def stack_microbatches(batches: List[Dict[str, np.ndarray]],
+                       skip=("num_real", "pose_idx")) -> Dict[str, np.ndarray]:
+    """Stack D per-device batches into [D, ...] arrays for shard_map."""
+    out = {}
+    for key in batches[0]:
+        if key in skip:
+            continue
+        out[key] = np.stack([b[key] for b in batches])
+    return out
+
+
+def dp_coarse_train_step(trainer, mesh: Mesh, global_negatives: bool = False):
+    """Build a jitted DP train step for the coarse retrieval model.
+
+    Returns ``step(state, stacked_batch, rng) -> (state, loss)`` where
+    ``stacked_batch`` holds [D, local, ...] arrays.
+    """
+    cfg = trainer.cfg
+    model = trainer.model
+
+    def per_device(params, batch_stats, batch, rng):
+        # Each device sees a [1, ...] shard of the stacked [D, ...] batch.
+        batch = jax.tree.map(lambda a: a[0], batch)
+        rng = rng[0]
+        pts, cols = prepare_object_points(
+            batch["points_xyz"], batch["points_rgb"], batch["point_count"],
+            cfg.pointnet_numpoints, rng, augment=True,
+            no_pc_augment=cfg.no_pc_augment,
+        )
+
+        def loss_fn(p):
+            (text, cells), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["tokens"], batch["lengths"], pts, cols,
+                batch["centers"], batch["colors"], batch["class_idx"],
+                batch["color_idx"], batch["flat_valid"], batch["cell_idx"],
+                batch["slot_idx"], batch["tokens"].shape[0],
+                cfg.coarse_max_objects, train=True, mutable=["batch_stats"],
+            )
+            if global_negatives:
+                # All-gather both towers over ICI: every device scores the
+                # full global batch (negatives from all shards).
+                text = jax.lax.all_gather(text, "dp", tiled=True)
+                cells = jax.lax.all_gather(cells, "dp", tiled=True)
+            if cfg.ranking_loss == "hardest":
+                loss = hardest_ranking_loss(text, cells, cfg.margin)
+            else:
+                loss = pairwise_ranking_loss(text, cells, cfg.margin)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.lax.pmean(grads, "dp")
+        new_bs = jax.lax.pmean(new_bs, "dp")
+        return loss, grads, new_bs
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rngs = jax.random.split(rng, mesh.devices.size)
+        loss, grads, new_bs = sharded(state.params, state.batch_stats, batch, rngs)
+        return state.apply_gradients(grads, new_bs), loss
+
+    return step
+
+
+def dp_fine_train_step(trainer, mesh: Mesh):
+    """Build a jitted DP train step for the fine matching model."""
+    cfg = trainer.cfg
+    model = trainer.model
+
+    def per_device(params, batch_stats, batch, rng):
+        # Each device sees a [1, ...] shard of the stacked [D, ...] batch.
+        batch = jax.tree.map(lambda a: a[0], batch)
+        rng = rng[0]
+        pts, cols = prepare_object_points(
+            batch["points_xyz"], batch["points_rgb"], batch["point_count"],
+            cfg.pointnet_numpoints, rng, augment=True,
+            no_pc_augment=cfg.no_pc_augment,
+        )
+
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["hint_tokens"], batch["hint_lengths"], pts, cols,
+                batch["centers"], batch["colors"], batch["class_idx"],
+                batch["color_idx"], train=True, mutable=["batch_stats"],
+            )
+            loss = matching_loss(out["log_P"], batch["all_matches"],
+                                 batch["all_matches_count"])
+            loss = loss + 5.0 * jnp.mean((out["offsets"] - batch["offsets"]) ** 2)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return (jax.lax.pmean(loss, "dp"), jax.lax.pmean(grads, "dp"),
+                jax.lax.pmean(new_bs, "dp"))
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rngs = jax.random.split(rng, mesh.devices.size)
+        loss, grads, new_bs = sharded(state.params, state.batch_stats, batch, rngs)
+        return state.apply_gradients(grads, new_bs), loss
+
+    return step
+
+
+def dp_encode_cells(trainer, mesh: Mesh):
+    """DP evaluation sharding: encode DB cells sharded over devices and
+    all-gather the (small) [C, E] embedding matrix (SURVEY.md §2.3)."""
+    cfg = trainer.cfg
+    model = trainer.model
+
+    def per_device(params, batch_stats, batch, rng):
+        # Each device sees a [1, ...] shard of the stacked [D, ...] batch.
+        batch = jax.tree.map(lambda a: a[0], batch)
+        rng = rng[0]
+        pts, cols = prepare_object_points(
+            batch["points_xyz"], batch["points_rgb"], batch["point_count"],
+            cfg.pointnet_numpoints, rng, augment=False,
+            no_pc_augment=cfg.no_pc_augment,
+        )
+        enc = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pts, cols, batch["centers"], batch["colors"], batch["class_idx"],
+            batch["color_idx"], batch["flat_valid"], batch["cell_idx"],
+            batch["slot_idx"], batch["tokens_dummy"].shape[0],
+            cfg.coarse_max_objects, train=False,
+            method=type(model).encode_objects,
+        )
+        return jax.lax.all_gather(enc, "dp", tiled=True)
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def encode(state: TrainState, batch, rng):
+        rngs = jax.random.split(rng, mesh.devices.size)
+        return sharded(state.params, state.batch_stats, batch, rngs)
+
+    return encode
