@@ -45,6 +45,7 @@ class Vocabulary:
     """
 
     def __init__(self, known_words: Sequence[str]):
+        self.known_words = [str(w) for w in known_words]
         self.word_to_index: Dict[str, int] = {w: i + 1 for i, w in enumerate(known_words)}
         self.word_to_index["<unk>"] = 0
         self.size = len(self.word_to_index)

@@ -241,3 +241,74 @@ class LocalizationPipeline:
             size = bank.cell_size[top_idx][..., None]
             pos = np.clip((pose_w[:, None, :] - lo) / size, 0, 1)
         return self._accuracies(poses, bank, top_idx, pos)
+
+
+def main():
+    """CLI entry: python -m text2pos_tpu.evaluation.pipeline
+    (reference evaluation/pipeline.py:282-343)."""
+    from text2pos_tpu.config import parse_config
+    from text2pos_tpu.data.loaders import CoarseLoader
+    from text2pos_tpu.evaluation.metrics import print_accuracies
+    from text2pos_tpu.train.state import TrainState, load_checkpoint, make_optimizer
+    from text2pos_tpu.utils.cli import load_split
+
+    cfg = parse_config(EvalConfig)
+    split = "test" if cfg.use_test_set else "val"
+    cells, poses = load_split(cfg, split)
+
+    # Restore models: vocab + params live in the msgpack checkpoints.
+    coarse_payload = load_checkpoint(cfg.path_coarse)
+    fine_payload = load_checkpoint(cfg.path_fine)
+    vocab = Vocabulary(coarse_payload["extra"]["known_words"])
+    fine_vocab = Vocabulary(fine_payload["extra"].get(
+        "known_words", coarse_payload["extra"]["known_words"]))
+
+    ctrain_cfg = TrainConfig(
+        batch_size=cfg.batch_size,
+        embed_dim=coarse_payload["extra"].get("embed_dim", 256),
+        pointnet_numpoints=cfg.pointnet_numpoints,
+        coarse_max_objects=cfg.coarse_max_objects,
+        num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
+        no_pc_augment=cfg.no_pc_augment)
+    ftrain_cfg = TrainConfig(
+        batch_size=cfg.batch_size,
+        embed_dim=fine_payload["extra"].get("embed_dim", 128),
+        num_layers=fine_payload["extra"].get("num_layers", 6),
+        sinkhorn_iters=fine_payload["extra"].get("sinkhorn_iters", 50),
+        pointnet_numpoints=cfg.pointnet_numpoints,
+        coarse_max_objects=cfg.coarse_max_objects,
+        num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
+        no_pc_augment=cfg.no_pc_augment)
+
+    coarse = CoarseTrainer(ctrain_cfg, vocab)
+    fine = FineTrainer(ftrain_cfg, fine_vocab)
+    tx = make_optimizer(1e-3)
+    cstate = TrainState.create(coarse_payload["params"],
+                               coarse_payload["batch_stats"], tx)
+    fstate = TrainState.create(fine_payload["params"],
+                               fine_payload["batch_stats"], tx)
+    pipe = LocalizationPipeline(coarse, cstate, fine, fstate, cfg)
+
+    loader = CoarseLoader(cells, poses, vocab, cfg.batch_size,
+                          cfg.coarse_max_objects, cfg.pointnet_numpoints,
+                          cfg.max_text_len)
+
+    top_idx, coarse_accs = pipe.run_coarse(loader, poses)
+    print_accuracies(coarse_accs, "Coarse")
+    if cfg.coarse_only:
+        return
+
+    if cfg.fine_oracle or cfg.fine_random:
+        accs = pipe.run_fine_oracle(loader, poses, top_idx,
+                                    random_oracle=cfg.fine_random)
+        print_accuracies(accs, "Fine (oracle)")
+    else:
+        accs_mean, accs_offsets, accs_conf = pipe.run_fine(
+            loader, poses, top_idx, fine_vocab)
+        print_accuracies(accs_mean, "Fine (mean)")
+        print_accuracies(accs_offsets, "Fine (offsets)")
+        print_accuracies(accs_conf, "Fine (mean-conf)")
+
+
+if __name__ == "__main__":
+    main()

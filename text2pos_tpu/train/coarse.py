@@ -281,11 +281,34 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
             if acc > best_acc:
                 path = os.path.join(
                     checkpoint_dir, f"coarse_acc{acc:0.2f}_e{cfg.embed_dim}.msgpack")
-                save_checkpoint(path, state, extra={"val_acc": acc,
-                                                    "vocab_size": vocab.size})
+                save_checkpoint(path, state, extra={
+                    "val_acc": acc, "known_words": vocab.known_words,
+                    "embed_dim": cfg.embed_dim, "variation": cfg.variation,
+                    "use_features": list(cfg.use_features)})
                 if best_path and best_path != path and os.path.isfile(best_path):
                     os.remove(best_path)
                 best_acc, best_path = acc, path
 
     return state, {"history": history, "vocab": vocab, "best_path": best_path,
                    "trainer": trainer}
+
+
+if __name__ == "__main__":
+    from text2pos_tpu.config import parse_config
+    from text2pos_tpu.utils.cli import load_split
+
+    cfg = parse_config(TrainConfig)
+    cells_train, poses_train = load_split(cfg, "train")
+    cells_val, poses_val = load_split(cfg, "val")
+    state, result = train(cfg, cells_train, poses_train, cells_val, poses_val)
+
+    from text2pos_tpu.train.plots import plot_metrics
+
+    hist = result["history"]
+    metrics = {"train-loss": {"run": hist["train_loss"]}}
+    for k in cfg.top_k:
+        metrics[f"train-acc-{k}"] = {"run": [a[k] for a in hist["train_acc"]]}
+        metrics[f"val-acc-{k}"] = {"run": [a[k] for a in hist["val_acc"]]}
+        metrics[f"val-close-{k}"] = {"run": [a[k] for a in hist["val_acc_close"]]}
+    plot_metrics(metrics, f"./plots/coarse_e{cfg.embed_dim}.png")
+    print("best checkpoint:", result["best_path"])

@@ -213,11 +213,36 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
                 path = os.path.join(
                     checkpoint_dir,
                     f"fine_acc{acc:0.2f}_obj-{cfg.num_mentioned}-{cfg.pad_size}.msgpack")
-                save_checkpoint(path, state, extra={"val_acc": acc,
-                                                    "vocab_size": vocab.size})
+                save_checkpoint(path, state, extra={
+                    "val_acc": acc, "known_words": vocab.known_words,
+                    "embed_dim": cfg.embed_dim, "num_layers": cfg.num_layers,
+                    "sinkhorn_iters": cfg.sinkhorn_iters,
+                    "use_features": list(cfg.use_features)})
                 if best_path and best_path != path and os.path.isfile(best_path):
                     os.remove(best_path)
                 best_acc, best_path = acc, path
 
     return state, {"history": history, "vocab": vocab, "best_path": best_path,
                    "trainer": trainer}
+
+
+if __name__ == "__main__":
+    from text2pos_tpu.config import parse_config
+    from text2pos_tpu.utils.cli import load_split
+
+    cfg = parse_config(TrainConfig)
+    cells_train, poses_train = load_split(cfg, "train")
+    cells_val, poses_val = load_split(cfg, "val")
+    state, result = train(cfg, cells_train, poses_train, cells_val, poses_val)
+
+    from text2pos_tpu.train.plots import plot_metrics
+
+    hist = result["history"]
+    keys = hist["train"][0].keys() if hist["train"] else []
+    metrics = {}
+    for k in keys:
+        metrics[f"train-{k}"] = {"run": [h[k] for h in hist["train"]]}
+    for k in (hist["val"][0].keys() if hist["val"] else []):
+        metrics[f"val-{k}"] = {"run": [h[k] for h in hist["val"]]}
+    plot_metrics(metrics, f"./plots/fine_e{cfg.embed_dim}.png")
+    print("best checkpoint:", result["best_path"])
