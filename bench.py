@@ -100,13 +100,24 @@ def run():
           f"devices={jax.devices()}", flush=True)
 
     # ------------------------------------------------------------------
-    # Offline: pre-encode the cell database (timed separately).
+    # Offline: pre-encode the cell database — coarse retrieval embeddings
+    # and the fine stage's query-independent object encodings (the map is
+    # static at serving time). Timed separately.
     # ------------------------------------------------------------------
     t0 = time.time()
     cell_enc = pipe.coarse.encode_all_cells(
         pipe.coarse_state, bank, jax.random.PRNGKey(0))
     cell_enc_dev = jnp.asarray(cell_enc)
-    print(f"# db encode: {bank.num_cells} cells in {time.time()-t0:0.1f}s "
+    print(f"# coarse db encode: {bank.num_cells} cells in "
+          f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
+
+    t0 = time.time()
+    bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
+        "points_xyz", "points_rgb", "point_count", "centers", "colors",
+        "class_idx", "color_idx", "mask")}
+    fine_bank = pipe.precompute_fine_bank(bank, bank_dev)
+    jax.block_until_ready(fine_bank)
+    print(f"# fine db encode: {bank.num_cells} cells in {time.time()-t0:0.1f}s "
           f"(incl. compile)", flush=True)
 
     # ------------------------------------------------------------------
@@ -119,7 +130,7 @@ def run():
         _, top_idx = topk_retrieval(jnp.asarray(text_enc), cell_enc_dev, TOP_K)
         top_idx = np.asarray(top_idx)
         accs_mean, accs_off, _ = pipe.run_fine(loader, poses, top_idx, vocab,
-                                               chunk=chunk)
+                                               chunk=chunk, fine_bank=fine_bank)
         return top_idx, accs_off
 
     t0 = time.time()
@@ -150,7 +161,8 @@ def run():
             pipe.coarse_state, jnp.asarray(tk), jnp.asarray(ln)))[0]
         scores = cell_enc_np @ enc                       # host matmul
         order = np.argsort(-scores)[:TOP_K]              # host argsort
-        pipe.run_fine(loader, [poses[qi]], order[None], vocab, chunk=1)
+        pipe.run_fine(loader, [poses[qi]], order[None], vocab, chunk=1,
+                      use_cache=False)                    # re-encode per query
 
     one_query(0)  # compile the chunk=1 path
     t0 = time.time()

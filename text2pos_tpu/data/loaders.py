@@ -54,6 +54,7 @@ class CoarseLoader:
                  vocab: Vocabulary, batch_size: int, max_objects: int,
                  points_per_object: int, max_text_len: int,
                  shuffle_hints: bool = False, flip_poses: bool = False,
+                 sample_close_cell: bool = False,
                  flat_cap: Optional[int] = None, seed: int = 0):
         self.bank = build_cell_bank(cells, max_objects, points_per_object, seed)
         self.id2idx = self.bank.id_to_index()
@@ -63,11 +64,17 @@ class CoarseLoader:
         self.max_text_len = max_text_len
         self.shuffle_hints = shuffle_hints
         self.flip_poses = flip_poses
+        self.sample_close_cell = sample_close_cell
         self.flat_cap = flat_cap or batch_size * max_objects
         self.hints = [create_hint_description(p) for p in self.poses]
         self.pose_cell_idx = np.array(
             [self.id2idx[p.cell_id] for p in self.poses], np.int32
         )
+        # For --sample_close_cell: any cell whose center is within
+        # cell_size/2 of the pose may substitute the best cell
+        # (reference cells.py:69-74).
+        self.cell_centers_xy = 0.5 * (
+            self.bank.bbox_w[:, 0:2] + self.bank.bbox_w[:, 3:5])
 
     def __len__(self) -> int:
         return len(self.poses)
@@ -111,7 +118,15 @@ class CoarseLoader:
             if self.shuffle_hints:
                 rng.shuffle(hints)
             text = " ".join(hints)
-            arrs = self._cell_arrays(int(self.pose_cell_idx[pi]))
+            cell_index = int(self.pose_cell_idx[pi])
+            if self.sample_close_cell:
+                cell_size = float(self.bank.cell_size[cell_index])
+                dists = np.linalg.norm(
+                    self.cell_centers_xy - self.poses[pi].pose_w[0:2], axis=1)
+                close = np.flatnonzero(dists <= cell_size / 2)
+                if len(close) > 0:
+                    cell_index = int(rng.choice(close))
+            arrs = self._cell_arrays(cell_index)
             if self.flip_poses:
                 if rng.choice((True, False)):
                     arrs = _flip_arrays(arrs, 0)

@@ -100,40 +100,24 @@ class LocalizationPipeline:
     # ------------------------------------------------------------------
     # Fine stage
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _fine_chunk(self, fine_state: TrainState, bank_dev: Dict,
-                    top_idx: jnp.ndarray, hint_tokens: jnp.ndarray,
-                    hint_lengths: jnp.ndarray, rng: jax.Array):
-        """Run the matcher for a chunk of queries against their top-k cells.
-
-        Args:
-            bank_dev:     device-resident dense cell bank arrays
-            top_idx:      [B, K] retrieved cell indices for this chunk
-            hint_tokens:  [B, H, T] per-pose hints
-        Returns per-(query, cell) matches, in-cell position estimates and
-        confidences — all [B, K, ...].
-        """
-        cfg = self.fine.cfg
-        B, K = top_idx.shape
-        pad = cfg.pad_size
-        flat_idx = top_idx.reshape(B * K)
+    def _pad_filled_cell_tensors(self, bank_dev: Dict, flat_idx: jnp.ndarray,
+                                 rng: jax.Array):
+        """Gather cells by index, cut to pad_size and fill invalid slots with
+        padding objects: 8 near-zero random points, black, class "pad"
+        (reference imports.py:75-83, eval.py:152-158)."""
+        pad = self.fine.cfg.pad_size
+        n = flat_idx.shape[0]
 
         def take(name):
-            return bank_dev[name][flat_idx]
+            return bank_dev[name][flat_idx][:, :pad]
 
-        # Cut the bank's object axis to pad_size (reference eval.py:152-154).
-        xyz = take("points_xyz")[:, :pad]
-        rgb = take("points_rgb")[:, :pad]
-        count = take("point_count")[:, :pad]
-        centers = take("centers")[:, :pad]
-        colors = take("colors")[:, :pad]
-        class_idx = take("class_idx")[:, :pad]
-        color_idx = take("color_idx")[:, :pad]
-        mask = take("mask")[:, :pad]
+        xyz, rgb = take("points_xyz"), take("points_rgb")
+        count, centers = take("point_count"), take("centers")
+        colors = take("colors")
+        class_idx, color_idx = take("class_idx"), take("color_idx")
+        mask = take("mask")
 
-        # Fill invalid slots with padding objects: 8 near-zero random points,
-        # black, class "pad" (reference imports.py:75-83, eval.py:156-158).
-        pad_pts = jax.random.uniform(rng, (B * K, pad, 8, 3)) * 0.001
+        pad_pts = jax.random.uniform(rng, (n, pad, 8, 3)) * 0.001
         pad_xyz = jnp.zeros_like(xyz).at[:, :, :8, :].set(pad_pts)
         m4 = mask[:, :, None, None]
         xyz = jnp.where(m4, xyz, pad_xyz)
@@ -144,7 +128,99 @@ class LocalizationPipeline:
         colors = jnp.where(mask[..., None], colors, 0.0)
         class_idx = jnp.where(mask, class_idx, PAD_CLASS_IDX)
         color_idx = jnp.where(mask, color_idx, PAD_COLOR_IDX)
+        return xyz, rgb, count, centers, colors, class_idx, color_idx
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_cells_chunk(self, fine_state: TrainState, bank_dev: Dict,
+                            idx: jnp.ndarray, rng: jax.Array):
+        """Query-independent fine object encodings for a chunk of cells.
+
+        Returns (obj_enc [Bc, pad, E], centers_xy [Bc, pad, 2]). This is the
+        PointNet++-heavy part of the fine stage; at serving time it runs
+        once per DB cell instead of once per query × top-k (the reference
+        re-encodes every retrieved cell per query, pipeline.py:190-202).
+        """
+        cfg = self.fine.cfg
+        xyz, rgb, count, centers, colors, class_idx, color_idx = (
+            self._pad_filled_cell_tensors(bank_dev, idx, rng))
+        xyz, rgb = prepare_object_points(
+            xyz, rgb, count, cfg.pointnet_numpoints,
+            jax.random.fold_in(rng, 1), augment=False,
+            no_pc_augment=cfg.no_pc_augment,
+        )
+        obj_enc = self.fine.model.apply(
+            {"params": fine_state.params, "batch_stats": fine_state.batch_stats},
+            xyz, rgb, centers, colors, class_idx, color_idx, train=False,
+            method=type(self.fine.model).encode_cell_objects,
+        )
+        return obj_enc, centers[..., 0:2]
+
+    def precompute_fine_bank(self, bank: CellBank, bank_dev: Dict,
+                             chunk: int = 64):
+        """Encode every DB cell's objects once → ([C, pad, E], [C, pad, 2])."""
+        C = bank.num_cells
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        enc_parts, ctr_parts = [], []
+        for i in range(0, C, chunk):
+            idx = np.arange(i, min(i + chunk, C))
+            real = len(idx)
+            if real < chunk:
+                idx = np.concatenate([idx, np.zeros(chunk - real, np.int64)])
+            enc, ctr = self._encode_cells_chunk(
+                self.fine_state, bank_dev, jnp.asarray(idx),
+                jax.random.fold_in(rng, i))
+            enc_parts.append(np.asarray(enc)[:real])
+            ctr_parts.append(np.asarray(ctr)[:real])
+        return (jnp.asarray(np.concatenate(enc_parts)),
+                jnp.asarray(np.concatenate(ctr_parts)))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _match_chunk_cached(self, fine_state: TrainState,
+                            obj_enc_bank: jnp.ndarray,
+                            centers_xy_bank: jnp.ndarray,
+                            top_idx: jnp.ndarray, hint_tokens: jnp.ndarray,
+                            hint_lengths: jnp.ndarray):
+        """Fine matching against pre-encoded cells: encode each query's hints
+        once, then attention+Sinkhorn per (query, cell)."""
+        B, K = top_idx.shape
+        variables = {"params": fine_state.params,
+                     "batch_stats": fine_state.batch_stats}
+        model = self.fine.model
+
+        hint_enc = model.apply(variables, hint_tokens, hint_lengths,
+                               method=type(model).encode_hints)  # [B, H, E]
+        H = hint_enc.shape[1]
+
+        flat_idx = top_idx.reshape(B * K)
+        obj_enc = obj_enc_bank[flat_idx]                  # [B·K, pad, E]
+        centers_xy = centers_xy_bank[flat_idx]            # [B·K, pad, 2]
+        hint_rep = jnp.repeat(hint_enc, K, axis=0)        # [B·K, H, E]
+
+        out = model.apply(variables, obj_enc, hint_rep, train=False,
+                          method=type(model).match_encoded)
+
+        pad = obj_enc.shape[1]
+        matches0 = out["matches0"].reshape(B, K, pad)
+        offsets = out["offsets"].reshape(B, K, H, 2)
+        centers_xy = centers_xy.reshape(B, K, pad, 2)
+        pos_mean = get_pos_in_cell(centers_xy, matches0,
+                                   jnp.zeros_like(offsets))
+        pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
+        confidences = jnp.sum(matches0 >= 0, axis=2)
+        return matches0, pos_mean, pos_offsets, confidences
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _fine_chunk(self, fine_state: TrainState, bank_dev: Dict,
+                    top_idx: jnp.ndarray, hint_tokens: jnp.ndarray,
+                    hint_lengths: jnp.ndarray, rng: jax.Array):
+        """Uncached path: re-encode every retrieved cell per query (the
+        reference's execution pattern, for parity checks)."""
+        cfg = self.fine.cfg
+        B, K = top_idx.shape
+        pad = cfg.pad_size
+
+        xyz, rgb, count, centers, colors, class_idx, color_idx = (
+            self._pad_filled_cell_tensors(bank_dev, top_idx.reshape(B * K), rng))
         xyz, rgb = prepare_object_points(
             xyz, rgb, count, cfg.pointnet_numpoints,
             jax.random.fold_in(rng, 1), augment=False,
@@ -171,8 +247,14 @@ class LocalizationPipeline:
         return matches0, pos_mean, pos_offsets, confidences
 
     def run_fine(self, loader, poses, top_idx: np.ndarray, vocab: Vocabulary,
-                 chunk: int = 8) -> Tuple[Dict, Dict, Dict]:
-        """Fine matching over every pose × top-k cell (pipeline.py:172-279)."""
+                 chunk: int = 8, use_cache: bool = True,
+                 fine_bank=None) -> Tuple[Dict, Dict, Dict]:
+        """Fine matching over every pose × top-k cell (pipeline.py:172-279).
+
+        With ``use_cache`` (default) the query-independent object encodings
+        of all DB cells are computed once (``precompute_fine_bank``) and the
+        per-query work reduces to hint encoding + attention + Sinkhorn.
+        """
         cfg = self.cfg
         bank = loader.bank
         Q, K = top_idx.shape
@@ -197,6 +279,9 @@ class LocalizationPipeline:
             "mask": jnp.asarray(bank.mask),
         }
 
+        if use_cache and fine_bank is None:
+            fine_bank = self.precompute_fine_bank(bank, bank_dev)
+
         pos_mean = np.zeros((Q, K, 2), np.float32)
         pos_offsets = np.zeros((Q, K, 2), np.float32)
         confidences = np.zeros((Q, K), np.int32)
@@ -211,9 +296,15 @@ class LocalizationPipeline:
                 idx = np.concatenate([idx, idx[:1].repeat(reps, 0)])
                 tok = np.concatenate([tok, tok[:1].repeat(reps, 0)])
                 lng = np.concatenate([lng, lng[:1].repeat(reps, 0)])
-            _, pm, po, cf = self._fine_chunk(
-                self.fine_state, bank_dev, jnp.asarray(idx), jnp.asarray(tok),
-                jnp.asarray(lng), jax.random.fold_in(rng, i))
+            if use_cache:
+                _, pm, po, cf = self._match_chunk_cached(
+                    self.fine_state, fine_bank[0], fine_bank[1],
+                    jnp.asarray(idx), jnp.asarray(tok), jnp.asarray(lng))
+            else:
+                _, pm, po, cf = self._fine_chunk(
+                    self.fine_state, bank_dev, jnp.asarray(idx),
+                    jnp.asarray(tok), jnp.asarray(lng),
+                    jax.random.fold_in(rng, i))
             pos_mean[sl] = np.asarray(pm)[:real]
             pos_offsets[sl] = np.asarray(po)[:real]
             confidences[sl] = np.asarray(cf)[:real]

@@ -38,7 +38,68 @@ class SuperGlueMatch(nn.Module):
     pointnet_features: int = 2
     match_threshold: float = 0.2
 
-    @nn.compact
+    def setup(self):
+        self.language_encoder = LanguageEncoder(
+            self.vocab_size, self.embed_dim, bi_dir=True)
+        self.object_encoder = ObjectEncoder(
+            embed_dim=self.embed_dim,
+            num_classes=self.num_classes,
+            num_colors=self.num_colors,
+            use_features=self.use_features,
+            class_embed=self.class_embed,
+            color_embed=self.color_embed,
+            pointnet_features=self.pointnet_features,
+        )
+        self.superglue = SuperGlue(
+            descriptor_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            sinkhorn_iterations=self.sinkhorn_iters,
+            match_threshold=self.match_threshold,
+        )
+        self.mlp_offsets = HeadMLP((self.embed_dim // 2, 2))
+
+    # -- staged API (used by the serving pipeline to cache the
+    #    query-independent object encodings per DB cell) -----------------
+    def encode_hints(self, hint_tokens: jnp.ndarray,
+                     hint_lengths: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, T] tokens → [B, H, E] L2-normalized hint encodings."""
+        B, H, T = hint_tokens.shape
+        enc = self.language_encoder(hint_tokens.reshape(B * H, T),
+                                    hint_lengths.reshape(B * H))
+        return l2_normalize(enc.reshape(B, H, self.embed_dim))
+
+    def encode_cell_objects(self, points_xyz, points_rgb, centers, colors,
+                            class_idx, color_idx, train: bool = True
+                            ) -> jnp.ndarray:
+        """[B, O, ...] padded cell objects → [B, O, E] normalized encodings.
+
+        Every slot is a real object (padding objects included), so no
+        validity mask is needed.
+        """
+        B, O, P, _ = points_xyz.shape
+        enc = self.object_encoder(
+            points_xyz.reshape(B * O, P, 3), points_rgb.reshape(B * O, P, 3),
+            centers.reshape(B * O, 3), colors.reshape(B * O, 3),
+            class_idx.reshape(B * O), color_idx.reshape(B * O),
+            valid=None, train=train,
+        )
+        return l2_normalize(enc.reshape(B, O, self.embed_dim))
+
+    def match_encoded(self, obj_enc: jnp.ndarray, hint_enc: jnp.ndarray,
+                      train: bool = True) -> Dict[str, jnp.ndarray]:
+        """Run attention GNN + Sinkhorn + offset head on encodings."""
+        matcher_out = self.superglue(obj_enc, hint_enc, train=train)
+        offsets = self.mlp_offsets(hint_enc)
+        return {
+            "P": matcher_out["P"],
+            "log_P": matcher_out["log_P"],
+            "matches0": matcher_out["matches0"],
+            "matches1": matcher_out["matches1"],
+            "matching_scores0": matcher_out["matching_scores0"],
+            "matching_scores1": matcher_out["matching_scores1"],
+            "offsets": offsets,          # [B, H, 2]
+        }
+
     def __call__(
         self,
         hint_tokens: jnp.ndarray,    # [B, H, T] token ids per hint
@@ -51,57 +112,11 @@ class SuperGlueMatch(nn.Module):
         color_idx: jnp.ndarray,      # [B, O]
         train: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        B, H, T = hint_tokens.shape
-        O = points_xyz.shape[1]
-
-        # Encode hints: flatten [B, H] → [B·H] sentences through the LSTM.
-        lang = LanguageEncoder(self.vocab_size, self.embed_dim, bi_dir=True,
-                               name="language_encoder")
-        hint_enc = lang(hint_tokens.reshape(B * H, T),
-                        hint_lengths.reshape(B * H))
-        hint_enc = hint_enc.reshape(B, H, self.embed_dim)
-        hint_enc = l2_normalize(hint_enc)
-
-        # Encode objects: flatten [B, O] → [B·O]; every slot is a real
-        # object (padding objects included), so no validity mask is needed.
-        obj_encoder = ObjectEncoder(
-            embed_dim=self.embed_dim,
-            num_classes=self.num_classes,
-            num_colors=self.num_colors,
-            use_features=self.use_features,
-            class_embed=self.class_embed,
-            color_embed=self.color_embed,
-            pointnet_features=self.pointnet_features,
-            name="object_encoder",
-        )
-        P = points_xyz.shape[2]
-        obj_enc = obj_encoder(
-            points_xyz.reshape(B * O, P, 3), points_rgb.reshape(B * O, P, 3),
-            centers.reshape(B * O, 3), colors.reshape(B * O, 3),
-            class_idx.reshape(B * O), color_idx.reshape(B * O),
-            valid=None, train=train,
-        )
-        obj_enc = l2_normalize(obj_enc.reshape(B, O, self.embed_dim))
-
-        matcher_out = SuperGlue(
-            descriptor_dim=self.embed_dim,
-            num_layers=self.num_layers,
-            sinkhorn_iterations=self.sinkhorn_iters,
-            match_threshold=self.match_threshold,
-            name="superglue",
-        )(obj_enc, hint_enc, train=train)
-
-        offsets = HeadMLP((self.embed_dim // 2, 2), name="mlp_offsets")(hint_enc)
-
-        return {
-            "P": matcher_out["P"],
-            "log_P": matcher_out["log_P"],
-            "matches0": matcher_out["matches0"],
-            "matches1": matcher_out["matches1"],
-            "matching_scores0": matcher_out["matching_scores0"],
-            "matching_scores1": matcher_out["matching_scores1"],
-            "offsets": offsets,          # [B, H, 2]
-        }
+        hint_enc = self.encode_hints(hint_tokens, hint_lengths)
+        obj_enc = self.encode_cell_objects(
+            points_xyz, points_rgb, centers, colors, class_idx, color_idx,
+            train=train)
+        return self.match_encoded(obj_enc, hint_enc, train=train)
 
 
 def get_pos_in_cell(centers: jnp.ndarray, matches0: jnp.ndarray,

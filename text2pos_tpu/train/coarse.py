@@ -79,8 +79,22 @@ class CoarseTrainer:
             jnp.asarray(batch["slot_idx"]),
             cfg.batch_size, cfg.coarse_max_objects,
         )
+        variables = dict(variables)
+        variables.setdefault("batch_stats", {})
+        if cfg.pointnet_path:
+            # Seed the object encoder with pretrained PointNet2 weights
+            # (reference object_encoder.py:43-46).
+            from text2pos_tpu.train.pointnet2 import load_pretrained_into
+
+            variables = load_pretrained_into(variables, cfg.pointnet_path)
+        if cfg.continue_path:
+            from text2pos_tpu.train.state import restore_variables
+
+            variables = restore_variables(cfg.continue_path)
+        freeze = (("object_encoder/pointnet",) if cfg.pointnet_freeze else ())
         tx = make_optimizer(learning_rate or cfg.learning_rate, cfg.lr_gamma,
-                            steps_per_epoch)
+                            steps_per_epoch, params=variables["params"],
+                            freeze_paths=freeze)
         return TrainState.create(variables["params"],
                                  variables.get("batch_stats", {}), tx)
 
@@ -257,7 +271,11 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     rng = jax.random.PRNGKey(cfg.seed)
     first_batch = next(loader_train.epoch(seed=cfg.seed))
     steps_per_epoch = loader_train.num_batches(drop_last=True)
-    state = trainer.init_state(first_batch, rng, steps_per_epoch)
+    # --lr_idx selects from the reference's sweep grid (coarse.py:246-251).
+    lr = (float(np.logspace(-2.5, -3.5, 3)[cfg.lr_idx])
+          if cfg.lr_idx is not None else cfg.learning_rate)
+    state = trainer.init_state(first_batch, rng, steps_per_epoch,
+                               learning_rate=lr)
 
     history = {"train_loss": [], "train_acc": [], "val_acc": [], "val_acc_close": []}
     best_acc, best_path = -1.0, None

@@ -80,6 +80,17 @@ class FineTrainer:
             jnp.asarray(batch["centers"]), jnp.asarray(batch["colors"]),
             jnp.asarray(batch["class_idx"]), jnp.asarray(batch["color_idx"]),
         )
+        variables = dict(variables)
+        variables.setdefault("batch_stats", {})
+        if self.cfg.pointnet_path:
+            from text2pos_tpu.train.pointnet2 import load_pretrained_into
+
+            variables = load_pretrained_into(variables, self.cfg.pointnet_path)
+        if self.cfg.continue_path:
+            from text2pos_tpu.train.state import restore_variables
+
+            variables = restore_variables(self.cfg.continue_path)
+
         lr = learning_rate or self.cfg.learning_rate
         # Warm-up at 1e-5 for the first epochs, then the target LR; both
         # phases decay exponentially per epoch (reference fine.py:317-323).
@@ -91,6 +102,17 @@ class FineTrainer:
             return base * (self.cfg.lr_gamma ** decayed_epoch)
 
         tx = optax.adam(lr_schedule)
+        if self.cfg.pointnet_freeze:
+            def label_fn(path, _):
+                joined = "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+                return ("freeze" if "object_encoder/pointnet" in joined
+                        else "train")
+
+            labels = jax.tree_util.tree_map_with_path(
+                label_fn, variables["params"])
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels)
         return TrainState.create(variables["params"],
                                  variables.get("batch_stats", {}), tx)
 
@@ -190,7 +212,11 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     rng = jax.random.PRNGKey(cfg.seed)
     first_batch = next(loader_train.epoch(seed=cfg.seed))
     steps_per_epoch = loader_train.num_batches(drop_last=True)
-    state = trainer.init_state(first_batch, rng, steps_per_epoch)
+    # --lr_idx selects from the reference's sweep grid (fine.py:276-283).
+    lr = (float(np.logspace(-3.0, -4.0, 3)[cfg.lr_idx])
+          if cfg.lr_idx is not None else cfg.learning_rate)
+    state = trainer.init_state(first_batch, rng, steps_per_epoch,
+                               learning_rate=lr)
 
     history = {"train": [], "val": []}
     best_acc, best_path = -1.0, None

@@ -57,11 +57,17 @@ def lr_logspace(start: float, stop: float, num: int) -> np.ndarray:
 
 
 def make_optimizer(learning_rate: float, lr_gamma: float = 1.0,
-                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+                   steps_per_epoch: int = 1, params=None,
+                   freeze_paths: tuple = ()) -> optax.GradientTransformation:
     """Adam with per-epoch exponential decay, like torch ExponentialLR.
 
     torch's scheduler multiplies the LR by ``lr_gamma`` after each *epoch*;
     we express it as a step schedule with the epoch length baked in.
+
+    ``freeze_paths`` freezes parameter subtrees whose '/'-joined path
+    contains any of the given substrings (e.g. ``("object_encoder/pointnet",)``
+    ≙ reference ``--pointnet_freeze``, object_encoder.py:49-51). Requires
+    ``params`` to build the label tree.
     """
     if lr_gamma == 1.0:
         sched = learning_rate
@@ -70,7 +76,19 @@ def make_optimizer(learning_rate: float, lr_gamma: float = 1.0,
             epoch = step // max(steps_per_epoch, 1)
             return learning_rate * (lr_gamma ** epoch)
 
-    return optax.adam(sched)
+    adam = optax.adam(sched)
+    if not freeze_paths:
+        return adam
+    assert params is not None, "freeze_paths requires params"
+
+    def label_fn(path, _):
+        joined = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        return "freeze" if any(fp in joined for fp in freeze_paths) else "train"
+
+    labels = jax.tree_util.tree_map_with_path(label_fn, params)
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, labels)
 
 
 def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None
