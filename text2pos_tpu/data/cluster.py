@@ -21,12 +21,26 @@ except Exception:  # pragma: no cover
 
 
 def dbscan_labels(points: np.ndarray, eps: float = 0.75, min_samples: int = 5,
-                  force_numpy: bool = False) -> np.ndarray:
-    """Cluster labels per point: 0..K-1 for clusters, −1 for noise."""
+                  force_numpy: bool = False, backend: str = "auto") -> np.ndarray:
+    """Cluster labels per point: 0..K-1 for clusters, −1 for noise.
+
+    Backends, in order of preference under ``auto``: the first-party C++
+    library (data/native.py), sklearn, pure NumPy.
+    """
     points = np.asarray(points, dtype=np.float64)
     if points.shape[0] == 0:
         return np.zeros((0,), dtype=np.int64)
-    if _HAVE_SKLEARN and not force_numpy:
+    if force_numpy:
+        backend = "numpy"
+    if backend in ("auto", "native"):
+        from text2pos_tpu.data import native
+
+        got = native.dbscan_labels(points, eps, min_samples)
+        if got is not None:
+            return got
+        if backend == "native":
+            raise RuntimeError("native DBSCAN library unavailable")
+    if backend in ("auto", "sklearn") and _HAVE_SKLEARN:
         return _SkDBSCAN(eps=eps, min_samples=min_samples, n_jobs=-1).fit(points).labels_
     return _dbscan_numpy(points, eps, min_samples)
 

@@ -12,10 +12,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def voxel_downsample_indices(points: np.ndarray, voxel_size: float) -> np.ndarray:
+def voxel_downsample_indices(points: np.ndarray, voxel_size: float,
+                             force_numpy: bool = False) -> np.ndarray:
     """Indices of the first point in each occupied voxel, in first-occurrence
     order (matching "keep index [0] of each voxel's trace")."""
     assert voxel_size > 0
+    if not force_numpy:
+        from text2pos_tpu.data import native
+
+        got = native.voxel_downsample_indices(points, voxel_size)
+        if got is not None:
+            return got
     coords = np.floor(points / voxel_size).astype(np.int64)
     coords -= coords.min(axis=0)
     # Collision-free linear key.
