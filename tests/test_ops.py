@@ -262,3 +262,21 @@ class TestTransforms:
             np.linalg.norm(xyz[..., :2], axis=-1),
             atol=1e-4,
         )
+
+
+class TestSinkhornPallas:
+    def test_matches_xla_impl(self, rng):
+        """Pallas fused kernel (interpret mode on CPU) ≡ XLA fori_loop."""
+        import jax
+
+        from text2pos_tpu.ops.sinkhorn import log_sinkhorn
+        from text2pos_tpu.ops.sinkhorn_pallas import log_sinkhorn_pallas
+
+        B, M, N = 37, 9, 5  # non-multiple of block to exercise padding
+        Z = jnp.asarray(rng.normal(size=(B, M, N)).astype(np.float32))
+        log_mu = jnp.asarray(rng.normal(size=(B, M)).astype(np.float32))
+        log_nu = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+        want = np.asarray(log_sinkhorn(Z, log_mu, log_nu, 20))
+        got = np.asarray(log_sinkhorn_pallas(Z, log_mu, log_nu, 20,
+                                             block_b=16, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4)

@@ -42,7 +42,7 @@ def log_sinkhorn(Z: jnp.ndarray, log_mu: jnp.ndarray, log_nu: jnp.ndarray,
 
 
 def log_optimal_transport(scores: jnp.ndarray, alpha: jnp.ndarray,
-                          iters: int) -> jnp.ndarray:
+                          iters: int, impl: str = "auto") -> jnp.ndarray:
     """Augment scores with dustbin row/column and run Sinkhorn.
 
     Args:
@@ -75,7 +75,14 @@ def log_optimal_transport(scores: jnp.ndarray, alpha: jnp.ndarray,
     log_mu = jnp.broadcast_to(log_mu[None], (B, M + 1))
     log_nu = jnp.broadcast_to(log_nu[None], (B, N + 1))
 
-    Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from text2pos_tpu.ops.sinkhorn_pallas import log_sinkhorn_pallas
+
+        Z = log_sinkhorn_pallas(couplings, log_mu, log_nu, iters)
+    else:
+        Z = log_sinkhorn(couplings, log_mu, log_nu, iters)
     return Z - norm  # multiply probabilities by M+N
 
 
