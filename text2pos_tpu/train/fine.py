@@ -272,3 +272,63 @@ if __name__ == "__main__":
         metrics[f"val-{k}"] = {"run": [h[k] for h in hist["val"]]}
     plot_metrics(metrics, f"./plots/fine_e{cfg.embed_dim}.png")
     print("best checkpoint:", result["best_path"])
+
+
+def eval_conf(trainer: FineTrainer, state: TrainState, loader: FineLoader,
+              num_trials: int = 100, num_cells: int = 5, seed: int = 0,
+              log=print) -> float:
+    """Retrieval-by-confidence probe (reference fine.py:174-208): for each
+    trial, match a pose's hints against its own cell and ``num_cells - 1``
+    random other cells; score how often the true cell has the most matched
+    hints. All trials run as one batched jitted evaluation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text2pos_tpu.data.loaders import FineSample
+
+    rng = np.random.default_rng(seed)
+    n = len(loader)
+    samples = []
+    gt_rows = []
+    for _ in range(num_trials):
+        i = int(rng.integers(n))
+        own = loader.make_sample(i, rng)
+        row = [own]
+        for _ in range(num_cells - 1):
+            j = int(rng.integers(n))
+            other = loader.make_sample(j, rng)
+            # Pose i's hints vs pose j's cell objects.
+            row.append(FineSample(
+                objects=other.objects, hint_tokens=own.hint_tokens,
+                hint_lengths=own.hint_lengths,
+                gt_obj_for_hint=own.gt_obj_for_hint,
+                all_matches=own.all_matches,
+                all_matches_count=own.all_matches_count,
+                offsets=own.offsets,
+                offsets_best_center=own.offsets_best_center,
+                pose_in_cell=own.pose_in_cell, pose_w=own.pose_w))
+        samples.extend(row)
+        gt_rows.append(0)
+
+    confs = []
+    B = trainer.cfg.batch_size
+    key = jax.random.PRNGKey(seed)
+    total = len(samples)
+    for i in range(0, total, B):
+        chunk = samples[i : i + B]
+        real = len(chunk)
+        while len(chunk) < B:
+            chunk.append(chunk[-1])
+        batch = loader._collate(chunk, real, np.zeros(B, np.int32))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("num_real", "pose_idx")}
+        _, out = trainer.eval_step(state, jb, jax.random.fold_in(key, i))
+        confs.append(np.asarray(jnp.sum(out["matches0"] >= 0, axis=1))[:real])
+    confs = np.concatenate(confs).reshape(num_trials, num_cells)
+
+    acc = float(np.mean(np.argmax(confs, axis=1) == 0))
+    acc_rev = float(np.mean(
+        np.argmax(confs[:, ::-1], axis=1) == num_cells - 1))
+    log(f"Conf score: {0.5 * (acc + acc_rev):0.3f} ({acc:0.3f})")
+    return 0.5 * (acc + acc_rev)
