@@ -68,6 +68,8 @@ class LocalizationPipeline:
         elif cfg.coarse_random:
             rng = np.random.default_rng(cfg.seed)
             top_idx = rng.integers(0, bank.num_cells, size=(len(poses), max_k))
+        elif cfg.street_oracle:
+            top_idx = self._street_oracle_retrieval(loader, poses, max_k)
         else:
             text_enc = self.coarse.encode_all_queries(self.coarse_state, loader)
             cell_enc = self.coarse.encode_all_cells(
@@ -79,6 +81,42 @@ class LocalizationPipeline:
         accs = self._accuracies(poses, bank, top_idx,
                                 pos_in_cells=np.full(top_idx.shape + (2,), 0.5))
         return top_idx, accs
+
+    def _street_oracle_retrieval(self, loader, poses, max_k: int,
+                                 street_centers: Optional[np.ndarray] = None
+                                 ) -> np.ndarray:
+        """Street-based semi-oracle: run the real retrieval model but mask
+        out cells whose nearest street center differs from the pose's
+        (reference pipeline.py:68-108). Street centers are loaded from
+        {base_path}/street_centers/<scene>.pkl when not passed directly."""
+        cfg = self.cfg
+        bank = loader.bank
+        if street_centers is None:
+            import os.path as osp
+            import pickle
+
+            scene = poses[0].scene_name if hasattr(poses[0], "scene_name") else None
+            path = osp.join(cfg.base_path, "street_centers",
+                            "2013_05_28_drive_0010_sync.pkl")
+            with open(path, "rb") as f:
+                street_centers = np.asarray(pickle.load(f))
+            del scene
+
+        text_enc = self.coarse.encode_all_queries(self.coarse_state, loader)
+        cell_enc = self.coarse.encode_all_cells(
+            self.coarse_state, bank, jax.random.PRNGKey(cfg.seed))
+
+        cell_centers = 0.5 * (bank.bbox_w[:, 0:3] + bank.bbox_w[:, 3:6])
+        from scipy.spatial.distance import cdist
+
+        cell_street = np.argmin(cdist(cell_centers, street_centers), axis=1)
+        pose_w = np.array([p.pose_w for p in poses])
+        pose_street = np.argmin(cdist(pose_w, street_centers), axis=1)
+
+        scores = text_enc @ cell_enc.T                       # [Q, C]
+        scores = np.where(cell_street[None, :] == pose_street[:, None],
+                          scores, -np.inf)
+        return np.argsort(-scores, axis=1)[:, :max_k]
 
     def _accuracies(self, poses, bank: CellBank, top_idx: np.ndarray,
                     pos_in_cells: np.ndarray,
