@@ -98,3 +98,42 @@ def run_fine(trainer: FineTrainer, state: TrainState, loader: FineLoader,
     for k, d in out_thresh.items():
         log("  " + k + ": " + " ".join(f"{t}m={v:0.2f}" for t, v in d.items()))
     return {"stats": out_stats, "thresh": out_thresh}
+
+
+def main():
+    """CLI entry: python -m text2pos_tpu.evaluation.fine
+    (reference evaluation/fine.py:164+)."""
+    from text2pos_tpu.config import EvalConfig, TrainConfig, parse_config
+    from text2pos_tpu.data.hints import Vocabulary
+    from text2pos_tpu.train.state import TrainState, load_checkpoint, make_optimizer
+    from text2pos_tpu.utils.cli import load_split
+
+    cfg = parse_config(EvalConfig)
+    split = "test" if cfg.use_test_set else "val"
+    cells, poses = load_split(cfg, split)
+
+    payload = load_checkpoint(cfg.path_fine)
+    vocab = Vocabulary(payload["extra"]["known_words"])
+    tcfg = TrainConfig(
+        batch_size=cfg.batch_size,
+        embed_dim=payload["extra"].get("embed_dim", 128),
+        num_layers=payload["extra"].get("num_layers", 6),
+        sinkhorn_iters=payload["extra"].get("sinkhorn_iters", 50),
+        pointnet_numpoints=cfg.pointnet_numpoints,
+        num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
+        no_pc_augment=cfg.no_pc_augment,
+        regressor_cell=cfg.regressor_cell, regressor_learn=cfg.regressor_learn)
+    trainer = FineTrainer(tcfg, vocab)
+    state = TrainState.create(payload["params"], payload["batch_stats"],
+                              make_optimizer(1e-3))
+    loader = FineLoader(cells, poses, vocab, cfg.batch_size, cfg.pad_size,
+                        cfg.num_mentioned, cfg.pointnet_numpoints,
+                        tcfg.max_hint_len,
+                        regressor_cell=cfg.regressor_cell,
+                        regressor_learn=cfg.regressor_learn)
+    cell_size = cells[0].cell_size if cells else 30.0
+    run_fine(trainer, state, loader, threshs=cfg.threshs, cell_size=cell_size)
+
+
+if __name__ == "__main__":
+    main()
