@@ -121,26 +121,41 @@ def run():
           f"(incl. compile)", flush=True)
 
     # ------------------------------------------------------------------
-    # Serving path, batched + jitted (warm up once, then time).
+    # Serving path: the ENTIRE query batch in one jitted program
+    # (text encode → top-k retrieval → fine matching → positions).
     # ------------------------------------------------------------------
-    chunk = 16
+    tokens, lengths = loader.all_query_tokens()
+    from text2pos_tpu.data.hints import create_hint_description
+
+    H, Th = pipe.cfg.num_mentioned, pipe.cfg.max_hint_len
+    hint_tokens = np.zeros((len(poses), H, Th), np.int32)
+    hint_lengths = np.ones((len(poses), H), np.int32)
+    for i, p in enumerate(poses):
+        tk, ln = vocab.encode_batch(create_hint_description(p), Th)
+        hint_tokens[i, : len(tk)] = tk
+        hint_lengths[i, : len(ln)] = ln
+
+    args = (pipe.coarse_state, pipe.fine_state, jnp.asarray(tokens),
+            jnp.asarray(lengths), jnp.asarray(hint_tokens),
+            jnp.asarray(hint_lengths), cell_enc_dev, TOP_K,
+            fine_bank[0], fine_bank[1])
 
     def serve_all():
-        text_enc = pipe.coarse.encode_all_queries(pipe.coarse_state, loader)
-        _, top_idx = topk_retrieval(jnp.asarray(text_enc), cell_enc_dev, TOP_K)
-        top_idx = np.asarray(top_idx)
-        accs_mean, accs_off, _ = pipe.run_fine(loader, poses, top_idx, vocab,
-                                               chunk=chunk, fine_bank=fine_bank)
-        return top_idx, accs_off
+        out = pipe.serve_batch(*args)
+        return jax.block_until_ready(out)
 
     t0 = time.time()
     serve_all()  # compile
     print(f"# pipeline compile+first run: {time.time()-t0:0.1f}s", flush=True)
 
     t0 = time.time()
-    top_idx, accs = serve_all()
-    elapsed = time.time() - t0
+    reps = 5
+    for _ in range(reps):
+        top_idx, _, pos_mean, pos_offsets, conf = serve_all()
+    elapsed = (time.time() - t0) / reps
     qps = len(poses) / elapsed
+    accs = pipe._accuracies(poses, bank, np.asarray(top_idx),
+                            np.asarray(pos_offsets))
     print(f"# steady-state: {len(poses)} queries in {elapsed:0.3f}s "
           f"→ {qps:0.1f} q/s; top-{TOP_K}@15m(synthetic)={accs[TOP_K][15]:0.2f}",
           flush=True)

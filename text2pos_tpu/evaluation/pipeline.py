@@ -357,6 +357,32 @@ class LocalizationPipeline:
             pos_mean[rows, conf_idx][:, None], top_k=(1,))
         return accs_mean, accs_offsets, accs_conf
 
+    # ------------------------------------------------------------------
+    # Single-program serving: the full query batch in one XLA program
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 8))
+    def serve_batch(self, coarse_state: TrainState, fine_state: TrainState,
+                    tokens: jnp.ndarray, lengths: jnp.ndarray,
+                    hint_tokens: jnp.ndarray, hint_lengths: jnp.ndarray,
+                    cell_enc: jnp.ndarray, top_k: int,
+                    obj_enc_bank: jnp.ndarray, centers_xy_bank: jnp.ndarray):
+        """Localize a batch of queries end-to-end in ONE jitted program:
+        LSTM text encode → top-k retrieval matmul → SuperGlue matching vs
+        pre-encoded cells → in-cell positions. One host→device transfer of
+        the token arrays, one device→host transfer of the results — the
+        full realization of the zero-round-trip north star.
+        """
+        text_enc = self.coarse.model.apply(
+            {"params": coarse_state.params,
+             "batch_stats": coarse_state.batch_stats},
+            tokens, lengths, method=type(self.coarse.model).encode_text)
+        _, top_idx = topk_retrieval(text_enc, cell_enc, top_k)
+
+        matches0, pos_mean, pos_offsets, confidences = self._match_chunk_cached(
+            fine_state, obj_enc_bank, centers_xy_bank, top_idx,
+            hint_tokens, hint_lengths)
+        return top_idx, matches0, pos_mean, pos_offsets, confidences
+
     def run_fine_oracle(self, loader, poses, top_idx: np.ndarray,
                         random_oracle: bool = False) -> Dict:
         """Perfect (or random) in-cell positions (pipeline.py:140-168)."""

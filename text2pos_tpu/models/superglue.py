@@ -126,7 +126,11 @@ class SuperGlue(nn.Module):
 
         bin_score = self.param("bin_score",
                                lambda key: jnp.asarray(1.0, jnp.float32))
-        Z = log_optimal_transport(scores, bin_score, self.sinkhorn_iterations)
+        # The fused Pallas kernel has no reverse-mode rule; training (which
+        # differentiates through the transport) uses the XLA loop, while
+        # eval/serving auto-selects the faster Pallas path on TPU.
+        Z = log_optimal_transport(scores, bin_score, self.sinkhorn_iterations,
+                                  impl="xla" if train else "auto")
 
         out = extract_matches(Z, self.match_threshold)
         out["P"] = jnp.exp(Z)
