@@ -88,9 +88,21 @@ def build():
     return pipe, coarse_loader, poses, vocab
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/t2p_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def run():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from text2pos_tpu.ops.retrieval import topk_retrieval
 

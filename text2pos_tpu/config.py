@@ -81,6 +81,7 @@ class TrainConfig:
     coarse_max_objects: int = 28      # dense cap of objects per cell (coarse)
     flat_object_cap: Optional[int] = None  # packed-object buffer per batch
     data_parallel: int = 1            # devices on the 'dp' mesh axis
+    remat: bool = False               # jax.checkpoint the object encoders
     global_negatives: bool = False    # all-gather embeddings for the ranking loss
 
     def __post_init__(self):

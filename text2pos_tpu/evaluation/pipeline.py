@@ -302,9 +302,9 @@ class LocalizationPipeline:
         hint_tokens = np.zeros((Q, H, cfg.max_hint_len), np.int32)
         hint_lengths = np.ones((Q, H), np.int32)
         for i, hints in enumerate(hint_lists):
-            tk, ln = vocab.encode_batch(hints, cfg.max_hint_len)
-            hint_tokens[i, : len(hints)] = tk
-            hint_lengths[i, : len(hints)] = ln
+            tk, ln = vocab.encode_batch(hints[:H], cfg.max_hint_len)
+            hint_tokens[i, : len(tk)] = tk
+            hint_lengths[i, : len(ln)] = ln
 
         bank_dev = {
             "points_xyz": jnp.asarray(bank.points_xyz),

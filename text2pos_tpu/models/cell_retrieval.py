@@ -67,10 +67,13 @@ class CellRetrievalNetwork(nn.Module):
     color_embed: bool = False
     pointnet_features: int = 2
     k: int = 8
+    remat: bool = False  # jax.checkpoint the object encoder (memory ↓)
 
     def setup(self):
         assert self.variation in (0, 1)
-        self.object_encoder = ObjectEncoder(
+        encoder_cls = (nn.remat(ObjectEncoder, static_argnums=(8,))
+                       if self.remat else ObjectEncoder)
+        self.object_encoder = encoder_cls(
             embed_dim=self.embed_dim,
             num_classes=self.num_classes,
             num_colors=self.num_colors,
@@ -108,9 +111,10 @@ class CellRetrievalNetwork(nn.Module):
         train: bool = True,
     ) -> jnp.ndarray:
         """Flat objects → [B, E] L2-normalized cell embeddings."""
+        # Positional call so nn.remat's static_argnums can pin `train`.
         emb = self.object_encoder(
             points_xyz, points_rgb, centers, colors, class_idx, color_idx,
-            valid=flat_valid, train=train,
+            flat_valid, train,
         )
         emb = l2_normalize(emb)
 

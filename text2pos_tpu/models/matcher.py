@@ -37,11 +37,17 @@ class SuperGlueMatch(nn.Module):
     color_embed: bool = False
     pointnet_features: int = 2
     match_threshold: float = 0.2
+    remat: bool = False  # jax.checkpoint the object encoder (memory ↓)
 
     def setup(self):
         self.language_encoder = LanguageEncoder(
             self.vocab_size, self.embed_dim, bi_dir=True)
-        self.object_encoder = ObjectEncoder(
+        # With remat, the PointNet activations are recomputed in the
+        # backward pass instead of stored — the standard HBM-for-FLOPs
+        # trade for large pad_size × batch products.
+        encoder_cls = (nn.remat(ObjectEncoder, static_argnums=(8,))
+                       if self.remat else ObjectEncoder)
+        self.object_encoder = encoder_cls(
             embed_dim=self.embed_dim,
             num_classes=self.num_classes,
             num_colors=self.num_colors,
@@ -77,11 +83,12 @@ class SuperGlueMatch(nn.Module):
         validity mask is needed.
         """
         B, O, P, _ = points_xyz.shape
+        # Positional call so nn.remat's static_argnums can pin `train`.
         enc = self.object_encoder(
             points_xyz.reshape(B * O, P, 3), points_rgb.reshape(B * O, P, 3),
             centers.reshape(B * O, 3), colors.reshape(B * O, 3),
             class_idx.reshape(B * O), color_idx.reshape(B * O),
-            valid=None, train=train,
+            None, train,
         )
         return l2_normalize(enc.reshape(B, O, self.embed_dim))
 

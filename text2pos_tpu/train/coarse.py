@@ -50,6 +50,7 @@ def build_model(cfg: TrainConfig, vocab_size: int) -> CellRetrievalNetwork:
         class_embed=cfg.class_embed,
         color_embed=cfg.color_embed,
         pointnet_features=cfg.pointnet_features,
+        remat=cfg.remat,
     )
 
 
@@ -277,6 +278,9 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     state = trainer.init_state(first_batch, rng, steps_per_epoch,
                                learning_rate=lr)
 
+    from text2pos_tpu.utils.profiling import MetricsLogger
+
+    metrics_log = MetricsLogger(os.environ.get("T2P_METRICS_JSONL"))
     history = {"train_loss": [], "train_acc": [], "val_acc": [], "val_acc_close": []}
     best_acc, best_path = -1.0, None
 
@@ -293,6 +297,10 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
         log(f"epoch {epoch} loss {loss:0.3f} "
             f"train-acc {train_acc} val-acc {val_acc} "
             f"val-close {val_acc_close} ({time.time()-t0:0.1f}s)")
+        metrics_log.log({"stage": "coarse", "epoch": epoch, "loss": loss,
+                         "train_acc": {str(k): v for k, v in train_acc.items()},
+                         "val_acc": {str(k): v for k, v in val_acc.items()},
+                         "elapsed_s": time.time() - t0})
 
         if epoch >= cfg.epochs // 2:
             acc = val_acc[max(cfg.top_k)]

@@ -52,6 +52,7 @@ def build_model(cfg: TrainConfig, vocab_size: int) -> SuperGlueMatch:
         class_embed=cfg.class_embed,
         color_embed=cfg.color_embed,
         pointnet_features=cfg.pointnet_features,
+        remat=cfg.remat,
     )
 
 
@@ -218,6 +219,9 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     state = trainer.init_state(first_batch, rng, steps_per_epoch,
                                learning_rate=lr)
 
+    from text2pos_tpu.utils.profiling import MetricsLogger
+
+    metrics_log = MetricsLogger(os.environ.get("T2P_METRICS_JSONL"))
     history = {"train": [], "val": []}
     best_acc, best_path = -1.0, None
     for epoch in range(cfg.epochs):
@@ -228,6 +232,9 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
                                          train=False)
         history["train"].append(train_stats)
         history["val"].append(val_stats)
+        metrics_log.log({"stage": "fine", "epoch": epoch,
+                         "train": train_stats, "val": val_stats,
+                         "elapsed_s": time.time() - t0})
         log(f"epoch {epoch} loss {train_stats.get('loss', float('nan')):0.3f} "
             f"t-recall {train_stats['recall']:0.2f} t-prec {train_stats['precision']:0.2f} "
             f"v-recall {val_stats['recall']:0.2f} v-prec {val_stats['precision']:0.2f} "
