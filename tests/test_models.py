@@ -235,3 +235,32 @@ class TestOffsetRegressor:
         assert out.shape == (2, 3, 2)
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
+
+
+class TestMixedPrecision:
+    def test_bf16_matcher_close_to_f32(self, rng):
+        """bfloat16 compute dtype: outputs finite and close to float32."""
+        B, H, T, O, P = 2, 4, 8, 6, 32
+        args = dict(
+            hint_tokens=jnp.asarray(rng.integers(1, VOCAB, (B, H, T)), jnp.int32),
+            hint_lengths=jnp.full((B, H), T, jnp.int32),
+            points_xyz=jnp.asarray(rng.random((B, O, P, 3)), jnp.float32),
+            points_rgb=jnp.asarray(rng.random((B, O, P, 3)), jnp.float32),
+            centers=jnp.asarray(rng.random((B, O, 3)), jnp.float32),
+            colors=jnp.asarray(rng.random((B, O, 3)), jnp.float32),
+            class_idx=jnp.asarray(rng.integers(1, 22, (B, O)), jnp.int32),
+            color_idx=jnp.asarray(rng.integers(0, 8, (B, O)), jnp.int32),
+        )
+        f32 = SuperGlueMatch(vocab_size=VOCAB, embed_dim=EMBED, num_layers=1,
+                             sinkhorn_iters=10)
+        bf16 = SuperGlueMatch(vocab_size=VOCAB, embed_dim=EMBED, num_layers=1,
+                              sinkhorn_iters=10, dtype=jnp.bfloat16)
+        variables = f32.init(jax.random.PRNGKey(0), **args)
+        out32 = f32.apply(variables, **args, train=False)
+        out16 = bf16.apply(variables, **args, train=False)
+        p32 = np.asarray(out32["P"], np.float32)
+        p16 = np.asarray(out16["P"], np.float32)
+        assert np.all(np.isfinite(p16))
+        assert np.abs(p32 - p16).max() < 0.2  # transport probs stay close
+        assert out16["offsets"].dtype == jnp.float32 or np.all(
+            np.isfinite(np.asarray(out16["offsets"], np.float32)))

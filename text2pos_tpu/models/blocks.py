@@ -73,16 +73,20 @@ class MLP(nn.Module):
 
     ``channels`` lists layer output sizes (the input size is inferred), so
     ``MLP([64, 128])`` ≙ reference ``get_mlp([in, 64, 128])``.
+
+    ``dtype`` sets the computation dtype (params stay float32; BatchNorm
+    statistics always accumulate in float32).
     """
 
     channels: Sequence[int]
     add_batchnorm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = True) -> jnp.ndarray:
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.add_batchnorm:
                 x = MaskedBatchNorm(name=f"bn_{i}")(x, mask=mask, train=train)
             x = nn.relu(x)
@@ -96,11 +100,12 @@ class HeadMLP(nn.Module):
     """
 
     channels: Sequence[int]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
             if i < len(self.channels) - 1:
                 x = nn.relu(x)
         return x
@@ -116,13 +121,14 @@ class SuperGlueMLP(nn.Module):
 
     channels: Sequence[int]
     do_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = True) -> jnp.ndarray:
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
             if i < n - 1:
                 if self.do_bn:
                     x = MaskedBatchNorm(name=f"bn_{i}")(x, mask=mask, train=train)

@@ -38,6 +38,7 @@ class EdgeConv(nn.Module):
     embed_dim: int
     k: int = 8
     aggr: str = "max"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -48,7 +49,8 @@ class EdgeConv(nn.Module):
         h = jnp.concatenate(
             [jnp.broadcast_to(x_i, x_j.shape), x_j - x_i], axis=-1
         )
-        h = MLP((self.embed_dim, self.embed_dim), name="edge_mlp")(
+        h = MLP((self.embed_dim, self.embed_dim), dtype=self.dtype,
+                name="edge_mlp")(
             h, mask=edge_valid, train=train
         )
         if self.aggr == "max":
@@ -68,6 +70,7 @@ class CellRetrievalNetwork(nn.Module):
     pointnet_features: int = 2
     k: int = 8
     remat: bool = False  # jax.checkpoint the object encoder (memory ↓)
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     def setup(self):
         assert self.variation in (0, 1)
@@ -81,11 +84,14 @@ class CellRetrievalNetwork(nn.Module):
             class_embed=self.class_embed,
             color_embed=self.color_embed,
             pointnet_features=self.pointnet_features,
+            dtype=self.dtype,
             name="object_encoder",
         )
         aggr = "max" if self.variation == 0 else "mean"
-        self.graph1 = EdgeConv(self.embed_dim, k=self.k, aggr=aggr, name="graph1")
-        self.lin = MLP((self.embed_dim, self.embed_dim), name="lin")
+        self.graph1 = EdgeConv(self.embed_dim, k=self.k, aggr=aggr,
+                               dtype=self.dtype, name="graph1")
+        self.lin = MLP((self.embed_dim, self.embed_dim), dtype=self.dtype,
+                       name="lin")
         self.language_encoder = LanguageEncoder(
             self.vocab_size, self.embed_dim, bi_dir=True, name="language_encoder"
         )
@@ -134,7 +140,7 @@ class CellRetrievalNetwork(nn.Module):
         else:
             pooled = masked_mean(x, obj_mask[..., None], axis=1)
         out = self.lin(pooled, train=train)
-        return l2_normalize(out)
+        return l2_normalize(out.astype(jnp.float32))
 
     def __call__(self, tokens, lengths, points_xyz, points_rgb, centers, colors,
                  class_idx, color_idx, flat_valid, cell_idx, slot_idx,

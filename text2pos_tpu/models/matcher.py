@@ -14,7 +14,7 @@ hints, so the whole fine stage jits and batches across query×top-k cells.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ class SuperGlueMatch(nn.Module):
     pointnet_features: int = 2
     match_threshold: float = 0.2
     remat: bool = False  # jax.checkpoint the object encoder (memory ↓)
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     def setup(self):
         self.language_encoder = LanguageEncoder(
@@ -55,12 +56,14 @@ class SuperGlueMatch(nn.Module):
             class_embed=self.class_embed,
             color_embed=self.color_embed,
             pointnet_features=self.pointnet_features,
+            dtype=self.dtype,
         )
         self.superglue = SuperGlue(
             descriptor_dim=self.embed_dim,
             num_layers=self.num_layers,
             sinkhorn_iterations=self.sinkhorn_iters,
             match_threshold=self.match_threshold,
+            dtype=self.dtype,
         )
         self.mlp_offsets = HeadMLP((self.embed_dim // 2, 2))
 

@@ -35,6 +35,7 @@ class ObjectEncoder(nn.Module):
     class_embed: bool = False
     color_embed: bool = False
     pointnet_features: int = 2  # 0/1/2 → features0/1/2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, points_xyz: jnp.ndarray, points_rgb: jnp.ndarray,
@@ -65,11 +66,13 @@ class ObjectEncoder(nn.Module):
             rgb_in = points_rgb
             if "color" not in self.use_features:
                 rgb_in = jnp.zeros_like(points_rgb)
-            pn_out = PointNet2(self.num_classes, self.num_colors, name="pointnet")(
+            pn_out = PointNet2(self.num_classes, self.num_colors,
+                               dtype=self.dtype, name="pointnet")(
                 points_xyz, rgb_in, valid=valid, train=train
             )
             pn_feats = pn_out[f"features{self.pointnet_features}"]
-            pn_feats = MLP((self.embed_dim,), name="mlp_pointnet")(
+            pn_feats = MLP((self.embed_dim,), dtype=self.dtype,
+                           name="mlp_pointnet")(
                 pn_feats, mask=valid, train=train
             )
 
@@ -88,20 +91,24 @@ class ObjectEncoder(nn.Module):
                                name="color_embedding")(color_idx)
                 features.append(l2_normalize(emb))
             else:
-                emb = MLP((64, self.embed_dim), name="color_encoder")(
+                emb = MLP((64, self.embed_dim), dtype=self.dtype,
+                          name="color_encoder")(
                     colors, mask=valid, train=train
                 )
                 features.append(l2_normalize(emb))
 
         if "position" in self.use_features:
-            emb = MLP((64, self.embed_dim), name="pos_encoder")(
+            emb = MLP((64, self.embed_dim), dtype=self.dtype,
+                      name="pos_encoder")(
                 centers, mask=valid, train=train
             )
             features.append(l2_normalize(emb))
 
         if len(features) > 1:
             fused = jnp.concatenate(features, axis=-1)
-            return MLP((self.embed_dim,), name="mlp_merge")(
+            out = MLP((self.embed_dim,), dtype=self.dtype, name="mlp_merge")(
                 fused, mask=valid, train=train
             )
-        return features[0]
+        else:
+            out = features[0]
+        return out.astype(jnp.float32)

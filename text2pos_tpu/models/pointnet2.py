@@ -36,6 +36,7 @@ class SetAbstraction(nn.Module):
     radius: float
     mlp_channels: tuple
     max_neighbors: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray,
@@ -65,7 +66,8 @@ class SetAbstraction(nn.Module):
         mask = nb_valid
         if valid is not None:
             mask = mask & valid[:, None, None]
-        h = MLP(self.mlp_channels, name="conv_mlp")(h, mask=mask, train=train)
+        h = MLP(self.mlp_channels, dtype=self.dtype,
+                name="conv_mlp")(h, mask=mask, train=train)
         out = masked_max(h, mask[..., None], axis=2)                 # [B, S, C']
         return out, centroids
 
@@ -74,6 +76,7 @@ class GlobalAbstraction(nn.Module):
     """Concat(pos) → MLP → global max (reference pointnet2.py:40-49)."""
 
     mlp_channels: tuple
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray,
@@ -82,7 +85,8 @@ class GlobalAbstraction(nn.Module):
         mask = None
         if valid is not None:
             mask = jnp.broadcast_to(valid[:, None], h.shape[:2])
-        h = MLP(self.mlp_channels, name="mlp")(h, mask=mask, train=train)
+        h = MLP(self.mlp_channels, dtype=self.dtype,
+                name="mlp")(h, mask=mask, train=train)
         return jnp.max(h, axis=1)                                    # [B, C]
 
 
@@ -96,6 +100,7 @@ class PointNet2(nn.Module):
 
     num_classes: int
     num_colors: int
+    dtype: Optional[jnp.dtype] = None
 
     dim0: int = 1024
     dim1: int = 512
@@ -111,13 +116,19 @@ class PointNet2(nn.Module):
             valid: [B] optional validity per object (for BN statistics)
         """
         x, pos = rgb, xyz
-        x, pos = SetAbstraction(0.5, 0.2, (32, 64), name="sa1")(x, pos, valid, train)
-        x, pos = SetAbstraction(0.5, 0.3, (128, 128), name="sa2")(x, pos, valid, train)
-        x, pos = SetAbstraction(0.5, 0.4, (256, 256), name="sa3")(x, pos, valid, train)
-        features0 = GlobalAbstraction((512, self.dim0), name="ga")(x, pos, valid, train)
+        dt = self.dtype
+        x, pos = SetAbstraction(0.5, 0.2, (32, 64), dtype=dt,
+                                name="sa1")(x, pos, valid, train)
+        x, pos = SetAbstraction(0.5, 0.3, (128, 128), dtype=dt,
+                                name="sa2")(x, pos, valid, train)
+        x, pos = SetAbstraction(0.5, 0.4, (256, 256), dtype=dt,
+                                name="sa3")(x, pos, valid, train)
+        features0 = GlobalAbstraction((512, self.dim0), dtype=dt,
+                                      name="ga")(x, pos, valid, train)
 
-        features1 = nn.relu(nn.Dense(self.dim1, name="lin1")(features0))
-        features2 = nn.relu(nn.Dense(self.dim2, name="lin2")(features1))
+        features1 = nn.relu(nn.Dense(self.dim1, dtype=dt, name="lin1")(features0))
+        features2 = nn.relu(nn.Dense(self.dim2, dtype=dt, name="lin2")(features1))
+        features2 = features2.astype(jnp.float32)
         class_pred = nn.Dense(self.num_classes, name="class_classifier")(features2)
         color_pred = nn.Dense(self.num_colors, name="color_classifier")(features2)
 

@@ -14,7 +14,7 @@ omitted.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,6 +29,7 @@ class MultiHeadedAttention(nn.Module):
 
     num_heads: int
     d_model: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
@@ -37,7 +38,7 @@ class MultiHeadedAttention(nn.Module):
         dim = self.d_model // self.num_heads
 
         def proj(x, name):
-            h = nn.Dense(self.d_model, name=name)(x)
+            h = nn.Dense(self.d_model, dtype=self.dtype, name=name)(x)
             B, N, _ = h.shape
             return h.reshape(B, N, self.num_heads, dim)
 
@@ -45,11 +46,13 @@ class MultiHeadedAttention(nn.Module):
         k = proj(key, "proj_k")
         v = proj(value, "proj_v")
 
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / (dim ** 0.5)
-        prob = jax.nn.softmax(scores, axis=-1)
+        # Attention logits/softmax in float32 regardless of compute dtype.
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) / (dim ** 0.5)
+        prob = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", prob, v)
         out = out.reshape(query.shape[0], query.shape[1], self.d_model)
-        return nn.Dense(self.d_model, name="merge")(out)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
 
 
 class AttentionalPropagation(nn.Module):
@@ -57,14 +60,17 @@ class AttentionalPropagation(nn.Module):
 
     feature_dim: int
     num_heads: int = 4
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, source: jnp.ndarray,
                  train: bool = True) -> jnp.ndarray:
         message = MultiHeadedAttention(self.num_heads, self.feature_dim,
+                                       dtype=self.dtype,
                                        name="attn")(x, source, source)
-        h = jnp.concatenate([x, message], axis=-1)
+        h = jnp.concatenate([x, message.astype(x.dtype)], axis=-1)
         return SuperGlueMLP((self.feature_dim * 2, self.feature_dim),
+                            dtype=self.dtype,
                             name="mlp")(h, train=train)
 
 
@@ -77,20 +83,22 @@ class AttentionalGNN(nn.Module):
 
     feature_dim: int
     layer_names: Tuple[str, ...]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
                  train: bool = True):
         for i, name in enumerate(self.layer_names):
-            layer = AttentionalPropagation(self.feature_dim, name=f"layer_{i}")
+            layer = AttentionalPropagation(self.feature_dim, dtype=self.dtype,
+                                           name=f"layer_{i}")
             if name == "cross":
                 src0, src1 = desc1, desc0
             else:
                 src0, src1 = desc0, desc1
             delta0 = layer(desc0, src0, train=train)
             delta1 = layer(desc1, src1, train=train)
-            desc0 = desc0 + delta0
-            desc1 = desc1 + delta1
+            desc0 = desc0 + delta0.astype(desc0.dtype)
+            desc1 = desc1 + delta1.astype(desc1.dtype)
         return desc0, desc1
 
 
@@ -102,6 +110,7 @@ class SuperGlue(nn.Module):
     num_layers: int = 6            # self/cross pairs; total blocks = 2·num_layers
     sinkhorn_iterations: int = 50
     match_threshold: float = 0.2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
@@ -116,12 +125,16 @@ class SuperGlue(nn.Module):
         if self.num_layers > 0:
             names = tuple(["self", "cross"] * self.num_layers)
             desc0, desc1 = AttentionalGNN(self.descriptor_dim, names,
+                                          dtype=self.dtype,
                                           name="gnn")(desc0, desc1, train=train)
 
-        final = nn.Dense(self.descriptor_dim, name="final_proj")
+        final = nn.Dense(self.descriptor_dim, dtype=self.dtype,
+                         name="final_proj")
         mdesc0, mdesc1 = final(desc0), final(desc1)
 
-        scores = jnp.einsum("bmd,bnd->bmn", mdesc0, mdesc1)
+        # Score matrix and optimal transport in float32 (Sinkhorn numerics).
+        scores = jnp.einsum("bmd,bnd->bmn", mdesc0, mdesc1,
+                            preferred_element_type=jnp.float32)
         scores = scores / (self.descriptor_dim ** 0.5)
 
         bin_score = self.param("bin_score",

@@ -51,6 +51,7 @@ def build_model(cfg: TrainConfig, vocab_size: int) -> CellRetrievalNetwork:
         color_embed=cfg.color_embed,
         pointnet_features=cfg.pointnet_features,
         remat=cfg.remat,
+        dtype=(jnp.bfloat16 if cfg.dtype == "bfloat16" else None),
     )
 
 

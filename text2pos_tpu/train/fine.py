@@ -53,6 +53,7 @@ def build_model(cfg: TrainConfig, vocab_size: int) -> SuperGlueMatch:
         color_embed=cfg.color_embed,
         pointnet_features=cfg.pointnet_features,
         remat=cfg.remat,
+        dtype=(jnp.bfloat16 if cfg.dtype == "bfloat16" else None),
     )
 
 
