@@ -71,7 +71,7 @@ class CoarseTrainer:
                    ) -> TrainState:
         cfg = self.cfg
         pts, cols = self._example_points(batch, rng)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init, static_argnums=(12, 13))(
             rng,
             jnp.asarray(batch["tokens"]), jnp.asarray(batch["lengths"]),
             pts, cols,

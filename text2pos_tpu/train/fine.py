@@ -76,7 +76,7 @@ class FineTrainer:
                    ) -> TrainState:
         pts, cols = self._prep({k: jnp.asarray(v) for k, v in batch.items()
                                 if isinstance(v, np.ndarray)}, rng, False)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             rng, jnp.asarray(batch["hint_tokens"]),
             jnp.asarray(batch["hint_lengths"]), pts, cols,
             jnp.asarray(batch["centers"]), jnp.asarray(batch["colors"]),

@@ -28,7 +28,7 @@ class OffsetsTrainer:
         self.model = OffsetRegressor(vocab.size, cfg.regressor_dim)
 
     def init_state(self, batch, rng, steps_per_epoch: int) -> TrainState:
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             rng, jnp.asarray(batch["hint_tokens"]),
             jnp.asarray(batch["hint_lengths"]))
         tx = make_optimizer(self.cfg.learning_rate, self.cfg.lr_gamma,

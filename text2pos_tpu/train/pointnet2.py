@@ -83,7 +83,7 @@ class PointNet2Trainer:
             jnp.asarray(batch["xyz"]), jnp.asarray(batch["rgb"]),
             jnp.asarray(batch["counts"]), self.cfg.pointnet_numpoints, rng,
             augment=False, no_pc_augment=self.cfg.no_pc_augment)
-        variables = self.model.init(rng, pts, cols)
+        variables = jax.jit(self.model.init)(rng, pts, cols)
         tx = make_optimizer(self.cfg.learning_rate, self.cfg.lr_gamma,
                             steps_per_epoch)
         return TrainState.create(variables["params"],
