@@ -104,8 +104,6 @@ def run():
 
     _enable_compile_cache()
 
-    from text2pos_tpu.ops.retrieval import topk_retrieval
-
     pipe, loader, poses, vocab = build()
     bank = loader.bank
     print(f"# bench: {bank.num_cells} DB cells, {len(poses)} queries, "

@@ -21,12 +21,12 @@ Class/color index conventions follow the reference encoders:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from text2pos_tpu.constants import CLASS_TO_INDEX, COLOR_NAMES
-from text2pos_tpu.data.structs import Cell, Object3d, Pose
+from text2pos_tpu.data.structs import Cell, Object3d
 
 
 def class_index(label: str) -> int:

@@ -17,12 +17,10 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from text2pos_tpu.data.dense import (
-    CellBank,
     ObjectArrays,
     build_cell_bank,
     encode_objects,
     flatten_object_batch,
-    pad_cell_objects,
 )
 from text2pos_tpu.data.hints import Vocabulary, create_hint_description, flip_text
 from text2pos_tpu.data.structs import Cell, Pose

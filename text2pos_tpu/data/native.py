@@ -9,7 +9,6 @@ sklearn DBSCAN) with first-party C++.
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 from typing import Optional

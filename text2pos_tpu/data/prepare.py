@@ -20,7 +20,7 @@ import os
 import os.path as osp
 import pickle
 import time
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ path consumes the dense tensor format produced by `text2pos_tpu.data.dense`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ full coarse+fine data model.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

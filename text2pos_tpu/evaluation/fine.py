@@ -17,7 +17,7 @@ import numpy as np
 
 from text2pos_tpu.data.loaders import FineLoader
 from text2pos_tpu.train.fine import FineTrainer
-from text2pos_tpu.train.losses import calc_pose_error, calc_recall_precision
+from text2pos_tpu.train.losses import calc_recall_precision
 from text2pos_tpu.train.state import TrainState
 
 

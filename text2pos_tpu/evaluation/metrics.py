@@ -8,7 +8,7 @@ to the ground-truth pose are computed, cross-scene retrievals are discarded
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -18,8 +18,7 @@ reference evaluation/args.py:44-50) are kept as cheap integration bounds.
 from __future__ import annotations
 
 import functools
-import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ top-k feature-space nearest database images. The feature extractor itself
 from __future__ import annotations
 
 import pickle
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ per iteration — the reference runs this as 50-100 Python-level torch ops.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ and it is an additive capability:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional
 
 import jax

@@ -17,7 +17,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ from text2pos_tpu.train.losses import (
     calc_recall_precision,
     matching_loss,
 )
-from text2pos_tpu.train.state import TrainState, make_optimizer, save_checkpoint
+from text2pos_tpu.train.state import TrainState, save_checkpoint
 
 WARMUP_LR = 1e-5
 WARMUP_EPOCHS = 3

@@ -8,7 +8,6 @@ entry point runs in environments without KITTI360 data.
 
 from __future__ import annotations
 
-from typing import List, Tuple
 
 from text2pos_tpu.constants import (
     SCENE_NAMES_TEST,

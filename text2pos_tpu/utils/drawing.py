@@ -9,7 +9,7 @@ intentionally not reproduced (headless environment).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
