@@ -32,13 +32,36 @@ _INSTANCE_LABELS = [
     "stop", "smallpole", "lamp", "trash bin", "vending machine", "box",
 ]
 
+# Class-conditioned geometry/appearance so classes are *learnable* and the
+# text ↔ geometry correlation transfers across synthetic scenes:
+# (xy-spread, z-spread, point count, preferred color-center indices).
+_CLASS_PROFILES = {
+    "building":        (6.0, 4.0, 320, (1, 2, 4)),
+    "garage":          (4.0, 2.0, 220, (2, 4)),
+    "pole":            (0.15, 3.5, 80, (5, 6)),
+    "smallpole":       (0.1, 1.5, 60, (5, 6)),
+    "traffic light":   (0.3, 2.5, 70, (5, 0)),
+    "traffic sign":    (0.4, 2.0, 70, (3, 7)),
+    "stop":            (0.3, 1.5, 60, (3,)),
+    "lamp":            (0.2, 3.0, 60, (7, 3)),
+    "trash bin":       (0.5, 0.8, 80, (0, 6)),
+    "vending machine": (0.6, 1.2, 80, (1, 4)),
+    "box":             (0.8, 0.8, 80, (2, 1)),
+}
+
 
 def make_blob_object(rng: np.random.Generator, obj_id: int, instance_id: int,
-                     center: np.ndarray, label: str, num_points: int = 120,
-                     spread: float = 2.0) -> Object3d:
-    xyz = center + rng.normal(scale=spread, size=(num_points, 3))
-    base_rgb = COLORS[rng.integers(0, len(COLORS))]
-    rgb = np.clip(base_rgb + rng.normal(scale=0.03, size=(num_points, 3)), 0.0, 1.0)
+                     center: np.ndarray, label: str,
+                     num_points: int = 0, spread: float = 0.0) -> Object3d:
+    """A synthetic object with class-characteristic shape and color."""
+    xy_spread, z_spread, n_pts, color_choices = _CLASS_PROFILES.get(
+        label, (2.0, 2.0, 120, tuple(range(len(COLORS)))))
+    if num_points:
+        n_pts = num_points
+    scale = np.array([xy_spread, xy_spread, z_spread])
+    xyz = center + rng.normal(size=(n_pts, 3)) * scale
+    base_rgb = COLORS[color_choices[rng.integers(0, len(color_choices))]]
+    rgb = np.clip(base_rgb + rng.normal(scale=0.03, size=(n_pts, 3)), 0.0, 1.0)
     return Object3d(obj_id, instance_id, xyz, rgb, label)
 
 
