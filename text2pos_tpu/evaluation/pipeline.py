@@ -417,18 +417,24 @@ def main():
     fine_vocab = Vocabulary(fine_payload["extra"].get(
         "known_words", coarse_payload["extra"]["known_words"]))
 
+    cx, fx = coarse_payload["extra"], fine_payload["extra"]
     ctrain_cfg = TrainConfig(
         batch_size=cfg.batch_size,
-        embed_dim=coarse_payload["extra"].get("embed_dim", 256),
+        embed_dim=cx.get("embed_dim", 256),
+        variation=cx.get("variation", 0),
+        use_features=tuple(cx.get("use_features",
+                                  ("class", "color", "position"))),
         pointnet_numpoints=cfg.pointnet_numpoints,
         coarse_max_objects=cfg.coarse_max_objects,
         num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
         no_pc_augment=cfg.no_pc_augment)
     ftrain_cfg = TrainConfig(
         batch_size=cfg.batch_size,
-        embed_dim=fine_payload["extra"].get("embed_dim", 128),
-        num_layers=fine_payload["extra"].get("num_layers", 6),
-        sinkhorn_iters=fine_payload["extra"].get("sinkhorn_iters", 50),
+        embed_dim=fx.get("embed_dim", 128),
+        num_layers=fx.get("num_layers", 6),
+        sinkhorn_iters=fx.get("sinkhorn_iters", 50),
+        use_features=tuple(fx.get("use_features",
+                                  ("class", "color", "position"))),
         pointnet_numpoints=cfg.pointnet_numpoints,
         coarse_max_objects=cfg.coarse_max_objects,
         num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
