@@ -157,26 +157,34 @@ class FineTrainer:
         return self._batch_metrics(out, batch), out
 
     def _batch_metrics(self, out, batch):
+        # "sample_mask" (when present) excludes the repeated padding tail of
+        # a partial eval batch from the metric means.
+        mask = batch.get("sample_mask")
         recall, precision = calc_recall_precision(
-            batch["gt_obj_for_hint"], out["matches0"], out["matches1"])
+            batch["gt_obj_for_hint"], out["matches0"], out["matches1"],
+            sample_mask=mask)
         centers_xy = batch["centers"][..., 0:2]
         poses_xy = batch["pose_in_cell"][..., 0:2]
         return dict(
             recall=recall,
             precision=precision,
             pose_mid=calc_pose_error(centers_xy, out["matches0"], poses_xy,
-                                     use_mid_pred=True),
+                                     use_mid_pred=True, sample_mask=mask),
             pose_mean=calc_pose_error(centers_xy, out["matches0"], poses_xy,
-                                      offsets=None),
+                                      offsets=None, sample_mask=mask),
             pose_offsets=calc_pose_error(centers_xy, out["matches0"], poses_xy,
-                                         offsets=out["offsets"]),
+                                         offsets=out["offsets"],
+                                         sample_mask=mask),
         )
 
     def run_epoch(self, state: TrainState, loader: FineLoader, epoch: int,
                   rng: jax.Array, train: bool):
         stats = {}
+        # Eval keeps the padded tail batch (small val sets would otherwise
+        # produce zero batches); training drops it for static batch shapes.
         for i, batch in enumerate(loader.epoch(
-                seed=self.cfg.seed * 10_000 + epoch, shuffle=train)):
+                seed=self.cfg.seed * 10_000 + epoch, shuffle=train,
+                drop_last=train)):
             if train and self.cfg.max_batches is not None and i >= self.cfg.max_batches:
                 break
             jb = {k: jnp.asarray(v) for k, v in batch.items()
@@ -185,6 +193,8 @@ class FineTrainer:
             if train:
                 state, metrics = self.train_step(state, jb, step_rng)
             else:
+                B = batch["gt_obj_for_hint"].shape[0]
+                jb["sample_mask"] = jnp.arange(B) < int(batch["num_real"])
                 metrics, _ = self.eval_step(state, jb, step_rng)
             for k, v in metrics.items():
                 stats.setdefault(k, []).append(float(v))
