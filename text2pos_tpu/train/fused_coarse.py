@@ -1,0 +1,202 @@
+"""Device-resident coarse training: zero host work per step.
+
+With the jitted coarse step at ~1.5 ms (v5e, reference scale), the host
+batch builder (~40 ms/batch: numpy packing + tokenization + flip rewrites)
+becomes the training bottleneck. This module keeps the entire dataset on
+device and fuses batch assembly INTO the train step:
+
+ - the cell bank (points/centers/colors/classes/masks) lives in HBM;
+ - per-pose hint tokens are pre-tokenized once ([Q, H, T_hint]);
+ - a step takes only (state, pose_indices [B], rng): it gathers the poses'
+   cells from the bank, applies horizontal/vertical flips to the geometry
+   AND to the text via direction-word token swap tables
+   (east↔west / north↔south — the reference's string rewrite,
+   dataloading/kitti360pose/utils.py:44-79, done on token ids), shuffles
+   hint order per sample, packs the shuffled hints into one joined token
+   sequence, and runs the contrastive update.
+
+The epoch loop shuffles pose indices on the host — that is all the host
+does. Geometric point augmentation (resample/rotate/normalize) was already
+on device (ops.transforms).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2pos_tpu.config import TrainConfig
+from text2pos_tpu.data.dense import CellBank, build_cell_bank
+from text2pos_tpu.data.hints import Vocabulary, create_hint_description
+from text2pos_tpu.ops.transforms import prepare_object_points
+from text2pos_tpu.train.coarse import CoarseTrainer
+from text2pos_tpu.train.losses import hardest_ranking_loss, pairwise_ranking_loss
+from text2pos_tpu.train.state import TrainState
+
+_SWAPS = {1: (("east", "west"),), -1: (("north", "south"),)}
+
+
+def build_token_swap(vocab: Vocabulary, direction: int) -> np.ndarray:
+    """Identity permutation over the vocab except the direction pair."""
+    table = np.arange(vocab.size, dtype=np.int32)
+    for a, b in _SWAPS[direction]:
+        ia, ib = vocab.word_to_index.get(a), vocab.word_to_index.get(b)
+        if ia is not None and ib is not None:
+            table[ia], table[ib] = ib, ia
+    return table
+
+
+class FusedCoarseTrainer(CoarseTrainer):
+    """CoarseTrainer whose training batches are assembled on device."""
+
+    def __init__(self, cfg: TrainConfig, vocab: Vocabulary, cells, poses,
+                 seed: int = 0):
+        super().__init__(cfg, vocab)
+        self.bank = build_cell_bank(cells, cfg.coarse_max_objects,
+                                    cfg.pointnet_numpoints, seed)
+        id2idx = self.bank.id_to_index()
+        self.pose_cell_idx = np.array([id2idx[p.cell_id] for p in poses],
+                                      np.int32)
+        self.num_poses = len(poses)
+
+        H, Th = cfg.num_mentioned, cfg.max_hint_len
+        hint_tokens = np.zeros((len(poses), H, Th), np.int32)
+        hint_lengths = np.zeros((len(poses), H), np.int32)
+        for i, p in enumerate(poses):
+            hints = create_hint_description(p)[:H]
+            tk, ln = vocab.encode_batch(hints, Th)
+            hint_tokens[i, : len(tk)] = tk
+            hint_lengths[i, : len(ln)] = ln
+
+        b = self.bank
+        self.dev = {
+            "points_xyz": jnp.asarray(b.points_xyz),
+            "points_rgb": jnp.asarray(b.points_rgb),
+            "point_count": jnp.asarray(b.point_count),
+            "centers": jnp.asarray(b.centers),
+            "colors": jnp.asarray(b.colors),
+            "class_idx": jnp.asarray(b.class_idx),
+            "color_idx": jnp.asarray(b.color_idx),
+            "mask": jnp.asarray(b.mask),
+            "hint_tokens": jnp.asarray(hint_tokens),
+            "hint_lengths": jnp.asarray(hint_lengths),
+            "pose_cell_idx": jnp.asarray(self.pose_cell_idx),
+            "swap_h": jnp.asarray(build_token_swap(vocab, 1)),
+            "swap_v": jnp.asarray(build_token_swap(vocab, -1)),
+        }
+
+    # ------------------------------------------------------------------
+    def _assemble_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
+                       flip_h: jnp.ndarray, flip_v: jnp.ndarray,
+                       rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-sample: swap direction tokens by flips, shuffle hint order,
+        pack hints into one joined sequence (no interior padding)."""
+        dev = self.dev
+        B, H, Th = tokens.shape
+        T = self.cfg.max_text_len
+
+        # Direction-word rewrites (token-id permutation tables).
+        tok = jnp.where(flip_h[:, None, None], dev["swap_h"][tokens], tokens)
+        tok = jnp.where(flip_v[:, None, None], dev["swap_v"][tok], tok)
+
+        # Per-sample random hint order (reference shuffle_hints).
+        perm = jnp.argsort(jax.random.uniform(rng, (B, H)), axis=1)
+        tok = jnp.take_along_axis(tok, perm[:, :, None], axis=1)
+        lens = jnp.take_along_axis(lengths, perm, axis=1)
+
+        # Pack: hint h starts at the cumulative length of the hints before it.
+        offsets = jnp.cumsum(lens, axis=1) - lens                    # [B, H]
+        pos = offsets[:, :, None] + jnp.arange(Th)[None, None, :]    # [B, H, Th]
+        valid = jnp.arange(Th)[None, None, :] < lens[:, :, None]
+        pos = jnp.where(valid, pos, T)          # park padding out of range
+        joined = jnp.zeros((B, T + 1), jnp.int32)
+        joined = joined.at[
+            jnp.arange(B)[:, None, None], pos
+        ].add(jnp.where(valid, tok, 0))
+        joined = joined[:, :T]
+        total = jnp.minimum(jnp.sum(lens, axis=1), T)
+        return joined, total
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def fused_train_step(self, state: TrainState, pose_idx: jnp.ndarray,
+                         rng: jax.Array):
+        """One contrastive update from pose indices alone."""
+        cfg = self.cfg
+        dev = self.dev
+        B = pose_idx.shape[0]
+        O = cfg.coarse_max_objects
+        k_flip, k_shuffle, k_points = jax.random.split(rng, 3)
+
+        cell_idx = dev["pose_cell_idx"][pose_idx]                     # [B]
+        xyz = dev["points_xyz"][cell_idx]                             # [B,O,P,3]
+        rgb = dev["points_rgb"][cell_idx]
+        count = dev["point_count"][cell_idx]
+        centers = dev["centers"][cell_idx]
+        colors = dev["colors"][cell_idx]
+        class_idx = dev["class_idx"][cell_idx]
+        color_idx = dev["color_idx"][cell_idx]
+        mask = dev["mask"][cell_idx]                                  # [B,O]
+
+        # Geometric flips (reference flip_pose_in_cell: v → 1 − v).
+        flips = jax.random.bernoulli(k_flip, 0.5, (B, 2))
+        flip_h, flip_v = flips[:, 0], flips[:, 1]
+        fxy = jnp.stack([flip_h, flip_v], axis=-1)                    # [B,2]
+        sign = jnp.where(fxy, -1.0, 1.0)
+        off = jnp.where(fxy, 1.0, 0.0)
+        xyz = xyz.at[..., :2].set(
+            off[:, None, None, :] + sign[:, None, None, :] * xyz[..., :2])
+        centers = centers.at[..., :2].set(
+            off[:, None, :] + sign[:, None, :] * centers[..., :2])
+
+        tokens, lengths = self._assemble_text(
+            dev["hint_tokens"][pose_idx], dev["hint_lengths"][pose_idx],
+            flip_h, flip_v, k_shuffle)
+
+        pts, cols = prepare_object_points(
+            xyz, rgb, count, cfg.pointnet_numpoints, k_points,
+            augment=True, no_pc_augment=cfg.no_pc_augment)
+
+        # Dense-as-flat object layout for the shared encode_objects API.
+        F = B * O
+        P = pts.shape[2]
+        flat = lambda a, shape: a.reshape((F,) + shape)
+        cell_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), O)
+        slot_ids = jnp.tile(jnp.arange(O, dtype=jnp.int32), B)
+
+        def loss_fn(params):
+            (text, cells), updates = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                tokens, lengths,
+                flat(pts, (P, 3)), flat(cols, (P, 3)), flat(centers, (3,)),
+                flat(colors, (3,)), class_idx.reshape(F),
+                color_idx.reshape(F), mask.reshape(F), cell_ids, slot_ids,
+                B, O, train=True, mutable=["batch_stats"],
+            )
+            if cfg.ranking_loss == "hardest":
+                loss = hardest_ranking_loss(text, cells, cfg.margin)
+            else:
+                loss = pairwise_ranking_loss(text, cells, cfg.margin)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return state.apply_gradients(grads, new_bs), loss
+
+    # ------------------------------------------------------------------
+    def fused_train_epoch(self, state: TrainState, epoch: int,
+                          rng: jax.Array) -> Tuple[TrainState, float]:
+        """Shuffle pose indices (the only host work) and run fused steps."""
+        B = self.cfg.batch_size
+        order = np.random.default_rng(self.cfg.seed * 10_000 + epoch).permutation(
+            self.num_poses)
+        losses = []
+        for i in range(self.num_poses // B):
+            idx = jnp.asarray(order[i * B : (i + 1) * B], jnp.int32)
+            state, loss = self.fused_train_step(
+                state, idx, jax.random.fold_in(rng, epoch * 100_000 + i))
+            losses.append(loss)
+        return state, float(np.mean([float(l) for l in losses])) if losses else float("nan")
