@@ -141,7 +141,11 @@ def _fake_kitti_scene(tmp_path, rng, scene="2013_05_28_drive_0000_sync"):
 
 
 class TestPrepareDriver:
-    def test_full_prepare_on_fake_scene(self, tmp_path, rng):
+    def test_full_prepare_on_fake_scene(self, tmp_path):
+        # Own generator: the shared session rng's state depends on test
+        # order, and the prepare driver's retention asserts are sensitive
+        # to the generated scene.
+        rng = np.random.default_rng(42)
         path_in, scene = _fake_kitti_scene(tmp_path, rng)
         cfg = PrepareConfig(path_in=path_in, scene_name=scene, cell_size=30,
                             cell_dist=10, pose_dist=10, pose_count=1,
