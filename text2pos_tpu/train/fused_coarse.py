@@ -121,12 +121,22 @@ class FusedCoarseTrainer(CoarseTrainer):
         total = jnp.minimum(jnp.sum(lens, axis=1), T)
         return joined, total
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def fused_train_step(self, state: TrainState, pose_idx: jnp.ndarray,
                          rng: jax.Array):
         """One contrastive update from pose indices alone."""
+        return self._fused_train_step(state, self.dev, pose_idx, rng)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _fused_train_step(self, state: TrainState, dev: Dict,
+                          pose_idx: jnp.ndarray, rng: jax.Array):
+        return self._step_core(state, dev, pose_idx, rng)
+
+    def _step_core(self, state: TrainState, dev: Dict,
+                   pose_idx: jnp.ndarray, rng: jax.Array):
+        # The bank is passed as an argument pytree (device-resident arrays →
+        # zero-copy), not closed over: closure constants are baked into the
+        # executable and behave poorly through remote-attached runtimes.
         cfg = self.cfg
-        dev = self.dev
         B = pose_idx.shape[0]
         O = cfg.coarse_max_objects
         k_flip, k_shuffle, k_points = jax.random.split(rng, 3)
@@ -186,17 +196,38 @@ class FusedCoarseTrainer(CoarseTrainer):
             state.params)
         return state.apply_gradients(grads, new_bs), loss
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _fused_epoch(self, state: TrainState, dev: Dict,
+                     epoch_idx: jnp.ndarray, rng: jax.Array):
+        """An entire epoch as one XLA program: lax.scan over the steps.
+
+        One host→device transfer (the shuffled [steps, B] index array) and
+        one dispatch per epoch — on remote-attached TPUs per-call transfer
+        latency would otherwise dominate the 1-2 ms steps.
+        """
+        steps = epoch_idx.shape[0]
+        rngs = jax.random.split(rng, steps)
+
+        def body(carry, inp):
+            idx, step_rng = inp
+            new_state, loss = self._step_core(carry, dev, idx, step_rng)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, (epoch_idx, rngs))
+        return state, jnp.mean(losses)
+
     # ------------------------------------------------------------------
     def fused_train_epoch(self, state: TrainState, epoch: int,
                           rng: jax.Array) -> Tuple[TrainState, float]:
-        """Shuffle pose indices (the only host work) and run fused steps."""
+        """Shuffle pose indices (the only host work) and scan the epoch."""
         B = self.cfg.batch_size
+        steps = self.num_poses // B
+        if steps == 0:
+            return state, float("nan")
         order = np.random.default_rng(self.cfg.seed * 10_000 + epoch).permutation(
             self.num_poses)
-        losses = []
-        for i in range(self.num_poses // B):
-            idx = jnp.asarray(order[i * B : (i + 1) * B], jnp.int32)
-            state, loss = self.fused_train_step(
-                state, idx, jax.random.fold_in(rng, epoch * 100_000 + i))
-            losses.append(loss)
-        return state, float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        epoch_idx = jnp.asarray(
+            order[: steps * B].reshape(steps, B), jnp.int32)
+        state, loss = self._fused_epoch(
+            state, self.dev, epoch_idx, jax.random.fold_in(rng, epoch))
+        return state, float(loss)
