@@ -7,10 +7,10 @@ grouped MLP + max) followed by a global abstraction layer, two linear
 layers and class/color heads.
 
 The set-abstraction level is written MXU-first. Two TPU-specific
-reformulations replace the reference's ragged CUDA kernels — both
-measured decisive on v5e (the naive ``lax.top_k`` + ``take_along_axis``
-composition spends ~60 ms/SA level at [512 objects × 256 points]; this
-formulation runs the whole level in a few ms):
+reformulations replace the reference's ragged CUDA kernels — measured
+decisive on v5e (distinct pre-uploaded inputs, host-materialized outputs,
+[1536 objects × 256 points]): the naive ``lax.top_k`` + ``take_along_axis``
+composition runs 224 ms per SA level; this formulation runs 41 ms — 5.5×:
 
 1. **Separable first layer.** PointConv's per-edge MLP input is
    ``concat(x_j, pos_j − pos_s)`` and its first layer is linear, so the
