@@ -145,27 +145,39 @@ def run():
         hint_tokens[i, : len(tk)] = tk
         hint_lengths[i, : len(ln)] = ln
 
-    args = (pipe.coarse_state, pipe.fine_state, jnp.asarray(tokens),
-            jnp.asarray(lengths), jnp.asarray(hint_tokens),
-            jnp.asarray(hint_lengths), cell_enc_dev, TOP_K,
-            fine_bank[0], fine_bank[1])
+    # Distinct query orderings per repetition (pre-uploaded): repeated
+    # identical inputs could be served from request-level caches in
+    # remote-attached runtimes, which would fake the timing.
+    reps = 5
+    perms = [np.roll(np.arange(len(poses)), r) for r in range(reps + 1)]
+    rep_args = []
+    for perm in perms:
+        rep_args.append((
+            jnp.asarray(tokens[perm]), jnp.asarray(lengths[perm]),
+            jnp.asarray(hint_tokens[perm]), jnp.asarray(hint_lengths[perm])))
+    jax.block_until_ready(rep_args)
 
-    def serve_all():
-        out = pipe.serve_batch(*args)
-        return jax.block_until_ready(out)
+    def serve_all(i):
+        tk, ln, htk, hln = rep_args[i]
+        out = pipe.serve_batch(pipe.coarse_state, pipe.fine_state, tk, ln,
+                               htk, hln, cell_enc_dev, TOP_K,
+                               fine_bank[0], fine_bank[1])
+        # Materialize results to host — the serving contract includes
+        # getting the positions back.
+        return tuple(np.asarray(o) for o in out)
 
     t0 = time.time()
-    serve_all()  # compile
+    serve_all(reps)  # compile + warm
     print(f"# pipeline compile+first run: {time.time()-t0:0.1f}s", flush=True)
 
     t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        top_idx, _, pos_mean, pos_offsets, conf = serve_all()
+    for i in range(reps):
+        top_idx, _, pos_mean, pos_offsets, conf = serve_all(i)
     elapsed = (time.time() - t0) / reps
     qps = len(poses) / elapsed
-    accs = pipe._accuracies(poses, bank, np.asarray(top_idx),
-                            np.asarray(pos_offsets))
+    inv = np.argsort(perms[reps - 1])
+    accs = pipe._accuracies(poses, bank, np.asarray(top_idx)[inv],
+                            np.asarray(pos_offsets)[inv])
     print(f"# steady-state: {len(poses)} queries in {elapsed:0.3f}s "
           f"→ {qps:0.1f} q/s; top-{TOP_K}@15m(synthetic)={accs[TOP_K][15]:0.2f}",
           flush=True)
