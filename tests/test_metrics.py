@@ -66,3 +66,27 @@ class TestDrawing:
         matches0[0] = 0
         img3 = plot_matches_in_best_cell(cell, pose, matches0, size=128)
         assert img3.shape == (128, 128, 3)
+
+
+class TestSceneRenderers:
+    def test_scene_overview_and_retrievals(self, synthetic_data):
+        from text2pos_tpu.utils.drawing import plot_cells_and_poses, plot_retrievals
+
+        cells, poses = synthetic_data
+        img = plot_cells_and_poses(cells, poses, size=256)
+        assert img.shape == (256, 256, 3)
+
+        # Fabricate retrievals: half correct, half wrong.
+        retrievals = []
+        for i, p in enumerate(poses):
+            if i % 2 == 0:
+                retrievals.append([p.cell_id])
+            else:
+                other = next(c.id for c in cells if c.id != p.cell_id)
+                retrievals.append([other])
+        out = plot_retrievals(retrievals, cells, poses, count=2, size=128)
+        assert len(out) > 0
+        flags = {f for f, _ in out}
+        assert flags == {True, False}
+        for _, im in out:
+            assert im.shape == (128, 256, 3)

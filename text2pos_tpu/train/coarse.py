@@ -279,8 +279,12 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     state = trainer.init_state(first_batch, rng, steps_per_epoch,
                                learning_rate=lr)
 
-    from text2pos_tpu.utils.profiling import MetricsLogger
+    from text2pos_tpu.utils.profiling import MetricsLogger, enable_nan_tripwire
 
+    if os.environ.get("T2P_DEBUG_NANS"):
+        # TPU-native stand-in for torch.autograd.set_detect_anomaly(True)
+        # (reference training/coarse.py:244, fine.py:268).
+        enable_nan_tripwire()
     metrics_log = MetricsLogger(os.environ.get("T2P_METRICS_JSONL"))
     history = {"train_loss": [], "train_acc": [], "val_acc": [], "val_acc_close": []}
     best_acc, best_path = -1.0, None

@@ -80,3 +80,47 @@ def plot_matches_in_best_cell(cell: Cell, pose: Pose, matches0: np.ndarray,
         cv2.arrowedLine(img, (int(c[0]), int(c[1])), (int(px[0]), int(px[1])),
                         color, 2, tipLength=0.06)
     return img
+
+
+def plot_cells_and_poses(cells, poses, size: int = 900) -> np.ndarray:
+    """Scene overview: all cell bboxes + pose positions in world coords
+    (reference drawing.py:238+)."""
+    import cv2
+
+    img = _canvas(size)
+    boxes = np.array([c.bbox_w for c in cells])
+    lo = boxes[:, 0:2].min(axis=0)
+    hi = boxes[:, 3:5].max(axis=0)
+    span = max(float((hi - lo).max()), 1e-6)
+
+    def w2px(xy):
+        p = (np.asarray(xy) - lo) / span * (size - 1)
+        return int(p[0]), size - 1 - int(p[1])
+
+    for c in cells:
+        cv2.rectangle(img, w2px(c.bbox_w[0:2]), w2px(c.bbox_w[3:5]),
+                      (180, 180, 180), 1)
+    for p in poses:
+        cv2.circle(img, w2px(p.pose_w[0:2]), 3, (0, 0, 220), -1)
+    return img
+
+
+def plot_retrievals(retrievals, cells, poses, count: int = 3,
+                    size: int = 640):
+    """Success/failure retrieval examples (reference training/utils.py:36):
+    for each sampled pose, render its best cell and the top-1 retrieved
+    cell side by side. Returns a list of (is_success, image) tuples."""
+    cells_dict = {c.id: c for c in cells}
+    out = []
+    successes = [i for i in range(len(poses))
+                 if retrievals[i][0] == poses[i].cell_id]
+    failures = [i for i in range(len(poses))
+                if retrievals[i][0] != poses[i].cell_id]
+    for group, flag in ((successes[:count], True), (failures[:count], False)):
+        for qi in group:
+            pose = poses[qi]
+            gt = plot_pose_in_best_cell(cells_dict[pose.cell_id], pose,
+                                        size=size)
+            top = plot_cell(cells_dict[retrievals[qi][0]], size=size)
+            out.append((flag, np.concatenate([gt, top], axis=1)))
+    return out
