@@ -92,3 +92,27 @@ class TestFusedStep:
         state, loss = trainer.fused_train_step(state, idx,
                                                jax.random.fold_in(rng, 99))
         assert np.isfinite(float(loss))
+
+
+class TestFusedFine:
+    def test_epoch_learns(self, synthetic_data):
+        from text2pos_tpu.train.fused_fine import FusedFineTrainer
+
+        cells, poses = synthetic_data
+        cfg = TrainConfig(batch_size=8, embed_dim=32, num_layers=1,
+                          sinkhorn_iters=10, pointnet_numpoints=32,
+                          coarse_max_objects=16, pad_size=8, num_mentioned=6,
+                          max_hint_len=12, learning_rate=1e-3, epochs=1)
+        vocab = Vocabulary(build_vocabulary(
+            [create_hint_description(p) for p in poses]))
+        trainer = FusedFineTrainer(cfg, vocab, cells, poses)
+        rng = jax.random.PRNGKey(0)
+        batch = next(trainer.loader.epoch(seed=0))
+        state = trainer.init_state(batch, rng, 1)
+
+        losses = []
+        for epoch in range(10):
+            state, loss = trainer.fused_train_epoch(state, 0, rng)  # same order
+            losses.append(loss)
+        assert all(np.isfinite(losses))
+        assert losses[-1] < 0.8 * losses[0], losses
