@@ -161,9 +161,14 @@ def dp_fine_train_step(trainer, mesh: Mesh):
     return step
 
 
-def dp_encode_cells(trainer, mesh: Mesh):
+def dp_encode_cells(trainer, mesh: Mesh, cells_per_device: int):
     """DP evaluation sharding: encode DB cells sharded over devices and
-    all-gather the (small) [C, E] embedding matrix (SURVEY.md §2.3)."""
+    all-gather the (small) [C, E] embedding matrix (SURVEY.md §2.3).
+
+    The returned function takes stacked [D, ...] flat-packed cell batches
+    (``cells_per_device`` cells per device, via ``flatten_bank_slice`` +
+    ``stack_microbatches``) and returns [D · cells_per_device, E].
+    """
     cfg = trainer.cfg
     model = trainer.model
 
@@ -180,7 +185,7 @@ def dp_encode_cells(trainer, mesh: Mesh):
             {"params": params, "batch_stats": batch_stats},
             pts, cols, batch["centers"], batch["colors"], batch["class_idx"],
             batch["color_idx"], batch["flat_valid"], batch["cell_idx"],
-            batch["slot_idx"], batch["tokens_dummy"].shape[0],
+            batch["slot_idx"], cells_per_device,
             cfg.coarse_max_objects, train=False,
             method=type(model).encode_objects,
         )
