@@ -252,3 +252,30 @@ class TestDense:
         # stored points are real points of the first valid object
         c0 = cells[0]
         assert bank.point_count[0, 0] == min(len(c0.objects[0].xyz), 64)
+
+
+class TestAsciiPly:
+    def test_ascii_roundtrip(self, tmp_path, rng):
+        xyz = rng.random((20, 3)) * 5
+        rgb = (rng.random((20, 3)) * 255).astype(int)
+        sem = rng.integers(0, 40, 20)
+        inst = rng.integers(0, 4, 20)
+        header = (
+            "ply\nformat ascii 1.0\n"
+            "element vertex 20\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "property int semantic\nproperty int instance\n"
+            "end_header\n"
+        )
+        path = tmp_path / "a.ply"
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            for i in range(20):
+                f.write((f"{xyz[i,0]} {xyz[i,1]} {xyz[i,2]} "
+                         f"{rgb[i,0]} {rgb[i,1]} {rgb[i,2]} "
+                         f"{sem[i]} {inst[i]}\n").encode())
+        x2, r2, s2, i2 = load_points(str(path))
+        np.testing.assert_allclose(x2, xyz, atol=1e-4)
+        np.testing.assert_array_equal(s2, sem)
+        np.testing.assert_array_equal(i2, inst)

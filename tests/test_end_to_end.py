@@ -161,3 +161,24 @@ class TestPipeline:
                 for t in (5, 10, 15):
                     assert 0.0 <= accs[k][t] <= 1.0
         assert 1 in accs_conf
+
+
+class TestSampleCloseCell:
+    def test_substitutes_nearby_cells(self, setup):
+        """--sample_close_cell may swap in any cell whose center is within
+        cell_size/2 of the pose (reference cells.py:69-74)."""
+        cells, poses, cfg, vocab = setup
+        loader = CoarseLoader(
+            cells, poses, vocab, cfg.batch_size, cfg.coarse_max_objects,
+            cfg.pointnet_numpoints, cfg.max_text_len, sample_close_cell=True)
+        batch = next(loader.epoch(seed=3))
+        # Every batch builds fine; the substituted cells must be close.
+        import numpy as np
+
+        for bi, pi in enumerate(batch["pose_idx"][: int(batch["num_real"])]):
+            pose = loader.poses[int(pi)]
+            # The chosen cell's objects are in the flat buffer; recover the
+            # cell centers used: compare against bank distances.
+            dists = np.linalg.norm(
+                loader.cell_centers_xy - pose.pose_w[0:2], axis=1)
+            assert np.min(dists) <= float(loader.bank.cell_size[0]) / 2

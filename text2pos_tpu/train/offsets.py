@@ -63,16 +63,20 @@ class OffsetsTrainer:
         targets = self._normalized_targets(batch["offsets"])
         mse = jnp.mean((pred - targets) ** 2)
 
-        # Oracle matches: hint h ↔ gt object (if matched).
+        # Oracle matches: hint h ↔ gt object (if matched). Scatter only the
+        # valid pairs: add (hint+1)·valid so unmatched hints contribute 0
+        # (an unconditional scatter of −1 at the safe index would clobber a
+        # real match on object 0).
         gt = batch["gt_obj_for_hint"]                      # [B, H]
         B, O = batch["centers"].shape[0:2]
         H = gt.shape[1]
-        matches0 = jnp.full((B, O), -1, jnp.int32)
         hint_ids = jnp.broadcast_to(jnp.arange(H)[None, :], gt.shape)
         valid = gt >= 0
         safe = jnp.where(valid, gt, 0)
-        matches0 = matches0.at[jnp.arange(B)[:, None], safe].set(
-            jnp.where(valid, hint_ids, -1).astype(jnp.int32))
+        accum = jnp.zeros((B, O), jnp.int32).at[
+            jnp.arange(B)[:, None], safe
+        ].add(((hint_ids + 1) * valid).astype(jnp.int32))
+        matches0 = jnp.where(accum > 0, accum - 1, -1)
         pos = get_pos_in_cell_intersect(batch["centers"][..., 0:2], matches0,
                                         pred)
         err = jnp.mean(jnp.linalg.norm(
