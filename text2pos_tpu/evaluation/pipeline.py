@@ -455,6 +455,24 @@ def main():
 
     top_idx, coarse_accs = pipe.run_coarse(loader, poses)
     print_accuracies(coarse_accs, "Coarse")
+    if cfg.plot_retrievals:
+        # Render success/failure examples, then stop
+        # (reference pipeline.py:325-328).
+        import cv2
+
+        from text2pos_tpu.utils.drawing import plot_retrievals
+
+        retrievals = [[loader.bank.cell_ids[ci] for ci in row]
+                      for row in top_idx]
+        os_dir = "./plots/retrievals"
+        import os
+
+        os.makedirs(os_dir, exist_ok=True)
+        for i, (ok, img) in enumerate(plot_retrievals(retrievals, cells, poses)):
+            tag = "success" if ok else "fail"
+            cv2.imwrite(f"{os_dir}/{tag}_{i}.png", img)
+        print(f"wrote retrieval examples to {os_dir}")
+        return
     if cfg.coarse_only:
         return
 
