@@ -82,6 +82,7 @@ class TrainConfig:
     flat_object_cap: Optional[int] = None  # packed-object buffer per batch
     data_parallel: int = 1            # devices on the 'dp' mesh axis
     remat: bool = False               # jax.checkpoint the object encoders
+    fused: bool = False               # device-resident fused training epochs
     global_negatives: bool = False    # all-gather embeddings for the ranking loss
 
     def __post_init__(self):

@@ -269,7 +269,15 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     loader_train = make_loader(cells_train, poses_train, True)
     loader_val = make_loader(cells_val, poses_val, False)
 
-    trainer = CoarseTrainer(cfg, vocab)
+    if cfg.fused:
+        # Device-resident training epochs (train/fused_coarse.py); host
+        # loaders are still used for initialization and evaluation.
+        from text2pos_tpu.train.fused_coarse import FusedCoarseTrainer
+
+        trainer = FusedCoarseTrainer(cfg, vocab, cells_train, poses_train,
+                                     seed=cfg.seed)
+    else:
+        trainer = CoarseTrainer(cfg, vocab)
     rng = jax.random.PRNGKey(cfg.seed)
     first_batch = next(loader_train.epoch(seed=cfg.seed))
     steps_per_epoch = loader_train.num_batches(drop_last=True)
@@ -291,7 +299,10 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
 
     for epoch in range(1, cfg.epochs + 1):
         t0 = time.time()
-        state, loss = trainer.train_epoch(state, loader_train, epoch, rng)
+        if cfg.fused:
+            state, loss = trainer.fused_train_epoch(state, epoch, rng)
+        else:
+            state, loss = trainer.train_epoch(state, loader_train, epoch, rng)
         train_acc, _, _ = trainer.eval_epoch(state, loader_train, cfg.top_k)
         val_acc, val_acc_close, _ = trainer.eval_epoch(state, loader_val, cfg.top_k)
 

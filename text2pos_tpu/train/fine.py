@@ -220,7 +220,13 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     loader_train = make_loader(cells_train, poses_train)
     loader_val = make_loader(cells_val, poses_val)
 
-    trainer = FineTrainer(cfg, vocab)
+    if cfg.fused:
+        from text2pos_tpu.train.fused_fine import FusedFineTrainer
+
+        trainer = FusedFineTrainer(cfg, vocab, cells_train, poses_train,
+                                   seed=cfg.seed)
+    else:
+        trainer = FineTrainer(cfg, vocab)
     rng = jax.random.PRNGKey(cfg.seed)
     first_batch = next(loader_train.epoch(seed=cfg.seed))
     steps_per_epoch = loader_train.num_batches(drop_last=True)
@@ -241,8 +247,12 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     best_acc, best_path = -1.0, None
     for epoch in range(cfg.epochs):
         t0 = time.time()
-        state, train_stats = trainer.run_epoch(state, loader_train, epoch, rng,
-                                               train=True)
+        if cfg.fused:
+            state, fused_loss = trainer.fused_train_epoch(state, epoch, rng)
+            train_stats = {"loss": fused_loss}
+        else:
+            state, train_stats = trainer.run_epoch(state, loader_train, epoch,
+                                                   rng, train=True)
         _, val_stats = trainer.run_epoch(state, loader_val, epoch, rng,
                                          train=False)
         history["train"].append(train_stats)
@@ -250,8 +260,10 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
         metrics_log.log({"stage": "fine", "epoch": epoch,
                          "train": train_stats, "val": val_stats,
                          "elapsed_s": time.time() - t0})
+        t_recall = train_stats.get("recall", float("nan"))
+        t_prec = train_stats.get("precision", float("nan"))
         log(f"epoch {epoch} loss {train_stats.get('loss', float('nan')):0.3f} "
-            f"t-recall {train_stats['recall']:0.2f} t-prec {train_stats['precision']:0.2f} "
+            f"t-recall {t_recall:0.2f} t-prec {t_prec:0.2f} "
             f"v-recall {val_stats['recall']:0.2f} v-prec {val_stats['precision']:0.2f} "
             f"v-offset {val_stats['pose_offsets']:0.3f} ({time.time()-t0:0.1f}s)")
 
