@@ -1,9 +1,10 @@
 """Device-resident coarse training: zero host work per step.
 
-With the jitted coarse step at ~1.5 ms (v5e, reference scale), the host
-batch builder (~40 ms/batch: numpy packing + tokenization + flip rewrites)
-becomes the training bottleneck. This module keeps the entire dataset on
-device and fuses batch assembly INTO the train step:
+The host batch builder (numpy packing + tokenization + flip rewrites,
+tens of ms per batch) costs as much as the device step itself and adds a
+host→device transfer per step — on remote-attached TPUs that transfer is
+the dominant cost. This module keeps the entire dataset on device and
+fuses batch assembly INTO the train step:
 
  - the cell bank (points/centers/colors/classes/masks) lives in HBM;
  - per-pose hint tokens are pre-tokenized once ([Q, H, T_hint]);
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from text2pos_tpu.config import TrainConfig
-from text2pos_tpu.data.dense import CellBank, build_cell_bank
+from text2pos_tpu.data.dense import build_cell_bank
 from text2pos_tpu.data.hints import Vocabulary, create_hint_description
 from text2pos_tpu.ops.transforms import prepare_object_points
 from text2pos_tpu.train.coarse import CoarseTrainer
@@ -92,10 +93,11 @@ class FusedCoarseTrainer(CoarseTrainer):
     # ------------------------------------------------------------------
     def _assemble_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                        flip_h: jnp.ndarray, flip_v: jnp.ndarray,
-                       rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       rng: jax.Array, dev: Dict = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Per-sample: swap direction tokens by flips, shuffle hint order,
         pack hints into one joined sequence (no interior padding)."""
-        dev = self.dev
+        dev = self.dev if dev is None else dev
         B, H, Th = tokens.shape
         T = self.cfg.max_text_len
 
@@ -164,7 +166,7 @@ class FusedCoarseTrainer(CoarseTrainer):
 
         tokens, lengths = self._assemble_text(
             dev["hint_tokens"][pose_idx], dev["hint_lengths"][pose_idx],
-            flip_h, flip_v, k_shuffle)
+            flip_h, flip_v, k_shuffle, dev=dev)
 
         pts, cols = prepare_object_points(
             xyz, rgb, count, cfg.pointnet_numpoints, k_points,
@@ -202,8 +204,7 @@ class FusedCoarseTrainer(CoarseTrainer):
         """An entire epoch as one XLA program: lax.scan over the steps.
 
         One host→device transfer (the shuffled [steps, B] index array) and
-        one dispatch per epoch — on remote-attached TPUs per-call transfer
-        latency would otherwise dominate the 1-2 ms steps.
+        one dispatch per epoch.
         """
         steps = epoch_idx.shape[0]
         rngs = jax.random.split(rng, steps)
