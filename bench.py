@@ -27,11 +27,14 @@ import time
 
 import numpy as np
 
-# Benchmark scale: a KITTI360Pose-val-sized problem.
-NUM_CELLS_GRID = 16          # 16×16 grid → ~256 DB cells
-NUM_QUERIES = 128
+import os
+
+# Benchmark scale: a KITTI360Pose-val-sized problem. Overridable via env
+# for scaling studies (e.g. T2P_BENCH_GRID=32 → ~1024 DB cells).
+NUM_CELLS_GRID = int(os.environ.get("T2P_BENCH_GRID", 16))
+NUM_QUERIES = int(os.environ.get("T2P_BENCH_QUERIES", 128))
 TOP_K = 10
-BASELINE_QUERIES = 8         # reference-style loop is slow; sample it
+BASELINE_QUERIES = int(os.environ.get("T2P_BENCH_BASELINE_QUERIES", 8))
 
 COARSE_DIM = 256
 FINE_DIM = 128
