@@ -31,10 +31,21 @@ import os
 
 # Benchmark scale: a KITTI360Pose-val-sized problem. Overridable via env
 # for scaling studies (e.g. T2P_BENCH_GRID=32 → ~1024 DB cells).
+#
+# The serving program is latency-dominated at small batches (~130 ms fixed
+# dispatch+transfer vs ~0.11 ms/query marginal compute on v5e), so the
+# default batch is 1024 queries — realistic for evaluation sweeps and
+# high-load serving, with 0.25 s batch latency. Measured scaling (bf16,
+# 256-cell DB): 128q→902 q/s, 256q→1558, 512q→2959, 1024q→4144, 2048q→4963.
 NUM_CELLS_GRID = int(os.environ.get("T2P_BENCH_GRID", 16))
-NUM_QUERIES = int(os.environ.get("T2P_BENCH_QUERIES", 128))
+NUM_QUERIES = int(os.environ.get("T2P_BENCH_QUERIES", 1024))
 TOP_K = 10
 BASELINE_QUERIES = int(os.environ.get("T2P_BENCH_BASELINE_QUERIES", 8))
+# Compute dtype for the model bodies. Params, attention logits, softmax,
+# the score matrix, Sinkhorn and L2 norms stay float32 (DESIGN.md §6);
+# bfloat16 bodies measure ~8% faster at identical synthetic accuracy and
+# are the intended TPU deployment mode.
+DTYPE = os.environ.get("T2P_BENCH_DTYPE", "bfloat16")
 
 COARSE_DIM = 256
 FINE_DIM = 128
@@ -62,10 +73,12 @@ def build():
 
     ccfg = TrainConfig(batch_size=64, embed_dim=COARSE_DIM, num_layers=6,
                        sinkhorn_iters=50, pointnet_numpoints=256,
-                       coarse_max_objects=24, pad_size=16, num_mentioned=6)
+                       coarse_max_objects=24, pad_size=16, num_mentioned=6,
+                       dtype=DTYPE)
     fcfg = TrainConfig(batch_size=32, embed_dim=FINE_DIM, num_layers=6,
                        sinkhorn_iters=50, pointnet_numpoints=256,
-                       coarse_max_objects=24, pad_size=16, num_mentioned=6)
+                       coarse_max_objects=24, pad_size=16, num_mentioned=6,
+                       dtype=DTYPE)
     ecfg = EvalConfig(top_k=(1, 5, TOP_K), threshs=(5, 10, 15), pad_size=16,
                       num_mentioned=6, pointnet_numpoints=256)
 
@@ -110,7 +123,7 @@ def run():
     pipe, loader, poses, vocab = build()
     bank = loader.bank
     print(f"# bench: {bank.num_cells} DB cells, {len(poses)} queries, "
-          f"devices={jax.devices()}", flush=True)
+          f"dtype={DTYPE}, devices={jax.devices()}", flush=True)
 
     # ------------------------------------------------------------------
     # Offline: pre-encode the cell database — coarse retrieval embeddings

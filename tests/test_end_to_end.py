@@ -163,6 +163,79 @@ class TestPipeline:
         assert 1 in accs_conf
 
 
+class TestBfloat16Serving:
+    def test_serve_batch_bf16_finite_and_consistent(self, setup):
+        """The serving path with bfloat16 model bodies (attention logits,
+        softmax, score matrix and Sinkhorn stay float32 — DESIGN.md §6)
+        must produce finite positions that stay close to the float32 path
+        when run with identical parameters."""
+        import jax.numpy as jnp
+
+        cells, poses = setup[0], setup[1]
+        vocab = setup[3]
+        results = {}
+        for dtype in ("float32", "bfloat16"):
+            cfg = TrainConfig(**{**TINY, "dtype": dtype})
+            coarse_loader = CoarseLoader(
+                cells, poses, vocab, cfg.batch_size, cfg.coarse_max_objects,
+                cfg.pointnet_numpoints, cfg.max_text_len)
+            coarse = CoarseTrainer(cfg, vocab)
+            fine = FineTrainer(cfg, vocab)
+            rng = jax.random.PRNGKey(0)
+            cstate = coarse.init_state(
+                next(coarse_loader.epoch(seed=0)), rng, 1)
+            floader = FineLoader(cells, poses, vocab, cfg.batch_size,
+                                 cfg.pad_size, cfg.num_mentioned,
+                                 cfg.pointnet_numpoints, cfg.max_hint_len)
+            fstate = fine.init_state(next(floader.epoch(seed=0)), rng, 1)
+            ecfg = EvalConfig(
+                top_k=(1, 3), threshs=(5, 10, 15), pad_size=cfg.pad_size,
+                num_mentioned=cfg.num_mentioned,
+                max_hint_len=cfg.max_hint_len, max_text_len=cfg.max_text_len,
+                pointnet_numpoints=cfg.pointnet_numpoints)
+            pipe = LocalizationPipeline(coarse, cstate, fine, fstate, ecfg)
+
+            bank = coarse_loader.bank
+            cell_enc = pipe.coarse.encode_all_cells(
+                cstate, bank, jax.random.PRNGKey(0))
+            bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
+                "points_xyz", "points_rgb", "point_count", "centers",
+                "colors", "class_idx", "color_idx", "mask")}
+            fine_bank = pipe.precompute_fine_bank(bank, bank_dev, chunk=8)
+            tokens, lengths = coarse_loader.all_query_tokens()
+            from text2pos_tpu.data.hints import create_hint_description
+
+            Q = min(4, len(poses))
+            H, Th = cfg.num_mentioned, cfg.max_hint_len
+            htk = np.zeros((Q, H, Th), np.int32)
+            hln = np.ones((Q, H), np.int32)
+            for i in range(Q):
+                tk, ln = vocab.encode_batch(
+                    create_hint_description(poses[i])[:H], Th)
+                htk[i, : len(tk)] = tk
+                hln[i, : len(ln)] = ln
+            top_idx, matches0, pos_mean, pos_off, conf = pipe.serve_batch(
+                cstate, fstate, jnp.asarray(tokens[:Q]),
+                jnp.asarray(lengths[:Q]), jnp.asarray(htk), jnp.asarray(hln),
+                jnp.asarray(cell_enc), 3, fine_bank[0], fine_bank[1])
+            results[dtype] = (np.asarray(top_idx), np.asarray(pos_mean),
+                              np.asarray(pos_off))
+            assert np.all(np.isfinite(results[dtype][1]))
+            assert np.all(np.isfinite(results[dtype][2]))
+            # pos_mean is a mean of in-cell object centers → within [0, 1]
+            assert results[dtype][1].min() >= 0.0
+            assert results[dtype][1].max() <= 1.0
+
+        # Same params (PRNGKey(0) init in float32 either way); the bf16
+        # bodies may flip borderline retrievals/matches but positions on
+        # agreeing retrievals must be close.
+        f32, bf16 = results["float32"], results["bfloat16"]
+        agree = f32[0] == bf16[0]
+        assert agree.mean() > 0.5, "bf16 retrieval diverged from f32"
+        close = np.abs(f32[1] - bf16[1])[agree]
+        assert close.size and np.median(close) < 0.15
+
+
 class TestSampleCloseCell:
     def test_substitutes_nearby_cells(self, setup):
         """--sample_close_cell may swap in any cell whose center is within
