@@ -33,12 +33,13 @@ import os
 # for scaling studies (e.g. T2P_BENCH_GRID=32 → ~1024 DB cells).
 #
 # The serving program is latency-dominated at small batches (~130 ms fixed
-# dispatch+transfer vs ~0.11 ms/query marginal compute on v5e), so the
-# default batch is 1024 queries — realistic for evaluation sweeps and
-# high-load serving, with 0.25 s batch latency. Measured scaling (bf16,
-# 256-cell DB): 128q→902 q/s, 256q→1558, 512q→2959, 1024q→4144, 2048q→4963.
+# dispatch+transfer vs ~0.11-0.14 ms/query marginal compute on v5e), so the
+# default batch is 2048 queries — realistic for evaluation sweeps and
+# high-load serving, with ~0.4 s batch latency. Measured scaling (bf16,
+# 256-cell DB): 128q→902 q/s, 256q→1558, 512q→2959, 1024q→4144,
+# 2048q→4963, 4096q→5851.
 NUM_CELLS_GRID = int(os.environ.get("T2P_BENCH_GRID", 16))
-NUM_QUERIES = int(os.environ.get("T2P_BENCH_QUERIES", 1024))
+NUM_QUERIES = int(os.environ.get("T2P_BENCH_QUERIES", 2048))
 TOP_K = 10
 BASELINE_QUERIES = int(os.environ.get("T2P_BENCH_BASELINE_QUERIES", 8))
 # Compute dtype for the model bodies. Params, attention logits, softmax,
