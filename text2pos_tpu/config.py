@@ -175,6 +175,7 @@ class PrepareConfig:
     num_mentioned: int = 6
     describe_by: str = "all"
     describe_best_cell: bool = False
+    no_ontop: bool = False      # drop the "on-top" direction (ref args.py:28)
     seed: int = 4096            # reference prepare.py:435
 
     def __post_init__(self):
@@ -190,10 +191,11 @@ class PrepareConfig:
         sp = "Y" if self.shift_poses else "N"
         bc = "_bestCell" if self.describe_best_cell else ""
         ac = "_all" if self.all_cells else ""
+        nt = "_noOntop" if self.no_ontop else ""  # reference args.py:52
         return (
             f"k360_{self.cell_size:0.0f}-{self.cell_dist:0.0f}_sc{sc}"
             f"_pd{self.pose_dist:0.0f}_pc{self.pose_count}_sp{sp}{ac}"
-            f"_nm{self.num_mentioned}_{self.describe_by}{bc}"
+            f"_nm{self.num_mentioned}_{self.describe_by}{bc}{nt}"
         )
 
 

@@ -221,7 +221,8 @@ def create_poses(objects, locations, cells: List[Cell], cfg: PrepareConfig
         for method in description_methods:
             describe_cell = best_cell if cfg.describe_best_cell else pose_cell
             descriptions = describe_pose_in_pose_cell(
-                location, describe_cell, method, cfg.num_mentioned)
+                location, describe_cell, method, cfg.num_mentioned,
+                no_ontop=cfg.no_ontop)
             if descriptions is None or len(descriptions) < cfg.num_mentioned:
                 num_none += 1
                 break

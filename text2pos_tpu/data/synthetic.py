@@ -21,6 +21,7 @@ import numpy as np
 from text2pos_tpu.constants import COLORS, STUFF_CLASSES
 from text2pos_tpu.data.descriptions import (
     create_cell,
+    create_synthetic_cell,
     describe_pose_in_pose_cell,
     ground_pose_to_best_cell,
 )
@@ -167,4 +168,96 @@ def make_synthetic_dataset(
             )
 
     assert len(cells) > 0 and len(poses) > 0
+    return cells, poses
+
+
+def make_synthetic_fine_cell_and_pose(
+    rng: np.random.Generator,
+    num_mentioned: int = 6,
+    pad_size: int = 16,
+    num_distractors="all",
+    describe_by: str = "closest",
+    cell_idx: int = 0,
+    scene_name: str = "synt",
+) -> Tuple[Cell, Pose]:
+    """One synthetic fine-stage training sample in the unit cell.
+
+    Mirrors the reference's Kitti360FineSyntheticDataset generation
+    (/root/reference/dataloading/kitti360pose/synthetic.py:77-140):
+    ``num_mentioned + num_distractors`` objects placed in [0,1]², described
+    from a random pose, then up to num_mentioned/2 of the matched objects
+    deleted so grounding produces dustbin (unmatched) pairs.
+
+    ``num_distractors`` follows the reference's --num_distractors flag
+    (training/args.py:13,82; synthetic.py:91-96): the string "all" draws a
+    random count in [0, pad_size - num_mentioned) per sample, an int fixes
+    the count.
+    """
+    if num_distractors == "all":
+        n_extra = (int(rng.integers(0, pad_size - num_mentioned))
+                   if pad_size > num_mentioned else 0)
+    else:
+        n_extra = int(num_distractors)
+
+    pose_w = rng.random(3)
+
+    objects: List[Object3d] = []
+    for i in range(num_mentioned + n_extra):
+        label = _INSTANCE_LABELS[rng.integers(0, len(_INSTANCE_LABELS))]
+        center = np.concatenate([rng.random(2), [0.3 * rng.random()]])
+        obj = make_blob_object(rng, obj_id=i, instance_id=i, center=center,
+                               label=label)
+        obj.xyz /= 30.0  # cell-normalized scale for the world-scale blobs
+        obj.xyz[:, 0:2] += center[0:2] - np.mean(obj.xyz[:, 0:2], axis=0)
+        objects.append(obj)
+
+    unit_bbox = np.array([0, 0, 0, 1, 1, 1], np.float64)
+    pose_cell = create_synthetic_cell(unit_bbox, objects,
+                                      min_objects=num_mentioned)
+    assert pose_cell is not None
+
+    # max_dist=inf: pose-cell and best-cell share the same bbox here
+    # (reference synthetic.py:113-116).
+    descriptions = describe_pose_in_pose_cell(
+        pose_w, pose_cell, describe_by, num_mentioned, max_dist=np.inf)
+    assert descriptions is not None
+
+    num_delete = int(rng.integers(0, num_mentioned // 2 + 1))
+    num_delete = min(num_delete, len(objects) - num_mentioned)
+    mentioned_ids = [d.object_id for d in descriptions]
+    delete_ids = set(
+        rng.choice(mentioned_ids, size=num_delete, replace=False).tolist()
+        if num_delete else [])
+    kept = [o for o in objects if o.id not in delete_ids]
+
+    best_cell = create_synthetic_cell(unit_bbox, kept,
+                                      min_objects=num_mentioned - num_delete)
+    assert best_cell is not None
+    best_cell.id = f"{scene_name}_{cell_idx:05d}"
+
+    best_descriptions, pose_in_cell, _ = ground_pose_to_best_cell(
+        pose_w, descriptions, best_cell)
+    pose = Pose(pose_in_cell, pose_w, best_cell.id, scene_name,
+                best_descriptions, described_by=describe_by)
+    return best_cell, pose
+
+
+def make_synthetic_fine_dataset(
+    seed: int = 0,
+    length: int = 64,
+    num_mentioned: int = 6,
+    pad_size: int = 16,
+    num_distractors="all",
+    describe_by: str = "closest",
+) -> Tuple[List[Cell], List[Pose]]:
+    """A list of (cell, pose) fine samples for FineLoader (reference C16)."""
+    rng = np.random.default_rng(seed)
+    cells, poses = [], []
+    for i in range(length):
+        cell, pose = make_synthetic_fine_cell_and_pose(
+            rng, num_mentioned=num_mentioned, pad_size=pad_size,
+            num_distractors=num_distractors, describe_by=describe_by,
+            cell_idx=i)
+        cells.append(cell)
+        poses.append(pose)
     return cells, poses

@@ -82,35 +82,62 @@ class LocalizationPipeline:
         return top_idx, accs
 
     def _street_oracle_retrieval(self, loader, poses, max_k: int,
-                                 street_centers: Optional[np.ndarray] = None
-                                 ) -> np.ndarray:
+                                 street_centers=None) -> np.ndarray:
         """Street-based semi-oracle: run the real retrieval model but mask
         out cells whose nearest street center differs from the pose's
-        (reference pipeline.py:68-108). Street centers are loaded from
-        {base_path}/street_centers/<scene>.pkl when not passed directly."""
+        (reference pipeline.py:68-108).
+
+        Unlike the reference (which hardcodes scene 0010's street centers,
+        pipeline.py:77-80), the street centers are loaded per scene — keyed
+        by each pose's scene — so multi-scene eval sets work. Pass
+        ``street_centers`` either as a single array (applied to all scenes)
+        or as a dict {scene_short_name: array}; by default they are loaded
+        from {base_path}/street_centers/2013_05_28_drive_<scene>_sync.pkl.
+        """
         cfg = self.cfg
         bank = loader.bank
+        pose_scenes = np.array([p.scene_name for p in poses])
+        cell_scenes = np.array([cid.split("_")[0] for cid in bank.cell_ids])
+        scenes = sorted(set(pose_scenes) | set(cell_scenes))
+
         if street_centers is None:
             import os.path as osp
             import pickle
 
-            scene = poses[0].scene_name if hasattr(poses[0], "scene_name") else None
-            path = osp.join(cfg.base_path, "street_centers",
-                            "2013_05_28_drive_0010_sync.pkl")
-            with open(path, "rb") as f:
-                street_centers = np.asarray(pickle.load(f))
-            del scene
+            street_centers = {}
+            for scene in scenes:
+                path = osp.join(cfg.base_path, "street_centers",
+                                f"2013_05_28_drive_{scene}_sync.pkl")
+                with open(path, "rb") as f:
+                    street_centers[scene] = np.asarray(pickle.load(f))
+        elif not isinstance(street_centers, dict):
+            street_centers = {scene: np.asarray(street_centers)
+                              for scene in scenes}
 
         text_enc = self.coarse.encode_all_queries(self.coarse_state, loader)
         cell_enc = self.coarse.encode_all_cells(
             self.coarse_state, bank, jax.random.PRNGKey(cfg.seed))
 
         cell_centers = 0.5 * (bank.bbox_w[:, 0:3] + bank.bbox_w[:, 3:6])
+        pose_w = np.array([p.pose_w for p in poses])
         from scipy.spatial.distance import cdist
 
-        cell_street = np.argmin(cdist(cell_centers, street_centers), axis=1)
-        pose_w = np.array([p.pose_w for p in poses])
-        pose_street = np.argmin(cdist(pose_w, street_centers), axis=1)
+        # Per-scene nearest-street assignment; streets of different scenes
+        # never compare (a cross-scene retrieval is wrong regardless).
+        cell_street = np.full(bank.num_cells, -1, np.int64)
+        pose_street = np.full(len(poses), -2, np.int64)
+        for si, scene in enumerate(scenes):
+            centers = street_centers[scene]
+            cm = cell_scenes == scene
+            if np.any(cm):
+                cell_street[cm] = (
+                    np.argmin(cdist(cell_centers[cm], centers), axis=1)
+                    + si * 10_000)
+            pm = pose_scenes == scene
+            if np.any(pm):
+                pose_street[pm] = (
+                    np.argmin(cdist(pose_w[pm], centers), axis=1)
+                    + si * 10_000)
 
         scores = text_enc @ cell_enc.T                       # [Q, C]
         scores = np.where(cell_street[None, :] == pose_street[:, None],

@@ -30,6 +30,7 @@ from text2pos_tpu.train.losses import (
     hardest_ranking_loss,
     matching_loss,
     pairwise_ranking_loss,
+    triplet_margin_loss,
 )
 from text2pos_tpu.ops.transforms import prepare_object_points
 from text2pos_tpu.train.state import TrainState
@@ -88,6 +89,10 @@ def dp_coarse_train_step(trainer, mesh: Mesh, global_negatives: bool = False):
                 cells = jax.lax.all_gather(cells, "dp", tiled=True)
             if cfg.ranking_loss == "hardest":
                 loss = hardest_ranking_loss(text, cells, cfg.margin)
+            elif cfg.ranking_loss == "triplet":
+                # In-batch rolled negatives (see train/coarse.py).
+                loss = triplet_margin_loss(
+                    text, cells, jnp.roll(cells, 1, axis=0), cfg.margin)
             else:
                 loss = pairwise_ranking_loss(text, cells, cfg.margin)
             return loss, updates["batch_stats"]

@@ -35,7 +35,11 @@ from text2pos_tpu.data.loaders import CoarseLoader
 from text2pos_tpu.models.cell_retrieval import CellRetrievalNetwork
 from text2pos_tpu.ops.retrieval import topk_retrieval
 from text2pos_tpu.ops.transforms import prepare_object_points
-from text2pos_tpu.train.losses import hardest_ranking_loss, pairwise_ranking_loss
+from text2pos_tpu.train.losses import (
+    hardest_ranking_loss,
+    pairwise_ranking_loss,
+    triplet_margin_loss,
+)
 from text2pos_tpu.train.state import TrainState, make_optimizer, save_checkpoint
 
 
@@ -134,6 +138,14 @@ class CoarseTrainer:
                 loss = pairwise_ranking_loss(text, cells, cfg.margin)
             elif cfg.ranking_loss == "hardest":
                 loss = hardest_ranking_loss(text, cells, cfg.margin)
+            elif cfg.ranking_loss == "triplet":
+                # One negative cell per anchor (reference coarse.py:46-50).
+                # The reference draws it from a batch["negative_cells"] key
+                # its dataloader never actually provides; the dense
+                # equivalent is the in-batch roll: each text pairs with the
+                # next sample's (distinct) cell as its negative.
+                loss = triplet_margin_loss(
+                    text, cells, jnp.roll(cells, 1, axis=0), cfg.margin)
             else:
                 raise ValueError(f"Unsupported ranking loss {cfg.ranking_loss}")
             return loss, updates["batch_stats"]

@@ -35,7 +35,11 @@ from text2pos_tpu.data.dense import build_cell_bank
 from text2pos_tpu.data.hints import Vocabulary, create_hint_description
 from text2pos_tpu.ops.transforms import prepare_object_points
 from text2pos_tpu.train.coarse import CoarseTrainer
-from text2pos_tpu.train.losses import hardest_ranking_loss, pairwise_ranking_loss
+from text2pos_tpu.train.losses import (
+    hardest_ranking_loss,
+    pairwise_ranking_loss,
+    triplet_margin_loss,
+)
 from text2pos_tpu.train.state import TrainState
 
 _SWAPS = {1: (("east", "west"),), -1: (("north", "south"),)}
@@ -190,6 +194,10 @@ class FusedCoarseTrainer(CoarseTrainer):
             )
             if cfg.ranking_loss == "hardest":
                 loss = hardest_ranking_loss(text, cells, cfg.margin)
+            elif cfg.ranking_loss == "triplet":
+                # In-batch rolled negatives (see train/coarse.py).
+                loss = triplet_margin_loss(
+                    text, cells, jnp.roll(cells, 1, axis=0), cfg.margin)
             else:
                 loss = pairwise_ranking_loss(text, cells, cfg.margin)
             return loss, updates["batch_stats"]

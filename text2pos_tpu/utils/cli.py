@@ -19,6 +19,20 @@ from text2pos_tpu.constants import (
 def load_split(cfg, split: str):
     """Return (cells, poses) for 'train' | 'val' | 'test'."""
     dataset = cfg.dataset.upper()
+    if dataset == "SYNTHETIC-FINE":
+        # Per-sample synthetic fine cells mirroring the reference's
+        # Kitti360FineSyntheticDataset (synthetic.py:50-202), honoring
+        # --num_distractors (reference training/args.py:13,82).
+        from text2pos_tpu.data.synthetic import make_synthetic_fine_dataset
+
+        seed = {"train": 0, "val": 1, "test": 2}[split]
+        describe_by = getattr(cfg, "describe_by", "closest")
+        return make_synthetic_fine_dataset(
+            seed=seed, length=256 if split == "train" else 64,
+            num_mentioned=cfg.num_mentioned,
+            pad_size=getattr(cfg, "pad_size", 16),
+            num_distractors=getattr(cfg, "num_distractors", "all"),
+            describe_by="closest" if describe_by == "all" else describe_by)
     if dataset == "SYNTHETIC":
         from text2pos_tpu.data.synthetic import make_synthetic_dataset
 
