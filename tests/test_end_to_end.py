@@ -214,7 +214,7 @@ class TestBfloat16Serving:
                     create_hint_description(poses[i])[:H], Th)
                 htk[i, : len(tk)] = tk
                 hln[i, : len(ln)] = ln
-            top_idx, matches0, pos_mean, pos_off, conf = pipe.serve_batch(
+            top_idx, pos_mean, pos_off, conf = pipe.serve_batch(
                 cstate, fstate, jnp.asarray(tokens[:Q]),
                 jnp.asarray(lengths[:Q]), jnp.asarray(htk), jnp.asarray(hln),
                 jnp.asarray(cell_enc), 3, fine_bank[0], fine_bank[1])

@@ -397,6 +397,11 @@ class LocalizationPipeline:
         pre-encoded cells → in-cell positions. One host→device transfer of
         the token arrays, one device→host transfer of the results — the
         full realization of the zero-round-trip north star.
+
+        Returns only the compact serving outputs (top_idx, pos_mean,
+        pos_offsets, confidences) — per-object match indices are ~70% of
+        the result bytes and not part of the serving contract; call
+        ``_match_chunk_cached`` directly when they are needed.
         """
         text_enc = self.coarse.model.apply(
             {"params": coarse_state.params,
@@ -404,10 +409,10 @@ class LocalizationPipeline:
             tokens, lengths, method=type(self.coarse.model).encode_text)
         _, top_idx = topk_retrieval(text_enc, cell_enc, top_k)
 
-        matches0, pos_mean, pos_offsets, confidences = self._match_chunk_cached(
+        _, pos_mean, pos_offsets, confidences = self._match_chunk_cached(
             fine_state, obj_enc_bank, centers_xy_bank, top_idx,
             hint_tokens, hint_lengths)
-        return top_idx, matches0, pos_mean, pos_offsets, confidences
+        return top_idx, pos_mean, pos_offsets, confidences
 
     def run_fine_oracle(self, loader, poses, top_idx: np.ndarray,
                         random_oracle: bool = False) -> Dict:
