@@ -21,10 +21,24 @@ import jax.numpy as jnp
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over all leading axes with an optional validity mask."""
+    """BatchNorm over all leading axes with an optional validity mask.
+
+    ``eval_batch_stats``: normalize with the CURRENT batch statistics even
+    when ``train=False`` (running averages are read but never written).
+    This reproduces the reference's fine-stage behaviour: its fine model is
+    *never* put in ``eval()`` mode — not in training eval
+    (/root/reference/training/fine.py:121, the ``model.eval()`` line is
+    commented out with "set eval() or not?") and not in the end-to-end
+    pipeline (evaluation/pipeline.py calls ``eval()`` only on the retrieval
+    model at :50) — so its BatchNorm always uses batch statistics. Running
+    averages track activations that drift per-block through the 12-block
+    residual GNN, and eval-mode normalization with them collapses matching
+    recall (measured 0.79 → 0.20 on held-out synthetic scenes).
+    """
 
     momentum: float = 0.1  # torch convention: new = (1−m)·old + m·batch
     eps: float = 1e-5
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -37,7 +51,7 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(features, jnp.float32))
 
-        if train:
+        if train or self.eval_batch_stats:
             reduce_axes = tuple(range(x.ndim - 1))
             if mask is None:
                 count = jnp.asarray(
@@ -55,7 +69,7 @@ class MaskedBatchNorm(nn.Module):
                 mean = jnp.sum(xf * m, axis=reduce_axes) / count
                 var = jnp.sum(((xf - mean) ** 2) * m, axis=reduce_axes) / count
 
-            if not self.is_initializing():
+            if train and not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
@@ -81,6 +95,7 @@ class MLP(nn.Module):
     channels: Sequence[int]
     add_batchnorm: bool = True
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -88,7 +103,9 @@ class MLP(nn.Module):
         for i, ch in enumerate(self.channels):
             x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.add_batchnorm:
-                x = MaskedBatchNorm(name=f"bn_{i}")(x, mask=mask, train=train)
+                x = MaskedBatchNorm(
+                    name=f"bn_{i}", eval_batch_stats=self.eval_batch_stats,
+                )(x, mask=mask, train=train)
             x = nn.relu(x)
         return x
 
@@ -122,6 +139,7 @@ class SuperGlueMLP(nn.Module):
     channels: Sequence[int]
     do_bn: bool = True
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -131,7 +149,10 @@ class SuperGlueMLP(nn.Module):
             x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
             if i < n - 1:
                 if self.do_bn:
-                    x = MaskedBatchNorm(name=f"bn_{i}")(x, mask=mask, train=train)
+                    x = MaskedBatchNorm(
+                        name=f"bn_{i}",
+                        eval_batch_stats=self.eval_batch_stats,
+                    )(x, mask=mask, train=train)
                 x = nn.relu(x)
         return x
 

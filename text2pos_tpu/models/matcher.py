@@ -39,6 +39,14 @@ class SuperGlueMatch(nn.Module):
     match_threshold: float = 0.2
     remat: bool = False  # jax.checkpoint the object encoder (memory ↓)
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    # The reference NEVER puts its fine model in eval() mode — not during
+    # training eval (training/fine.py:121, eval() commented out) and not in
+    # the end-to-end pipeline (evaluation/pipeline.py applies eval() only
+    # to the retrieval model at :50) — so its BatchNorms always normalize
+    # with current-batch statistics. Reproducing that is also numerically
+    # necessary: eval-mode running stats collapse matching recall through
+    # the 12-block residual GNN (0.79 → 0.20 measured on held-out scenes).
+    eval_batch_stats: bool = True
 
     def setup(self):
         self.language_encoder = LanguageEncoder(
@@ -57,6 +65,7 @@ class SuperGlueMatch(nn.Module):
             color_embed=self.color_embed,
             pointnet_features=self.pointnet_features,
             dtype=self.dtype,
+            eval_batch_stats=self.eval_batch_stats,
         )
         self.superglue = SuperGlue(
             descriptor_dim=self.embed_dim,
@@ -64,6 +73,7 @@ class SuperGlueMatch(nn.Module):
             sinkhorn_iterations=self.sinkhorn_iters,
             match_threshold=self.match_threshold,
             dtype=self.dtype,
+            eval_batch_stats=self.eval_batch_stats,
         )
         self.mlp_offsets = HeadMLP((self.embed_dim // 2, 2))
 

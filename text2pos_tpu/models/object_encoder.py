@@ -36,6 +36,7 @@ class ObjectEncoder(nn.Module):
     color_embed: bool = False
     pointnet_features: int = 2  # 0/1/2 → features0/1/2
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False  # see blocks.MaskedBatchNorm
 
     @nn.compact
     def __call__(self, points_xyz: jnp.ndarray, points_rgb: jnp.ndarray,
@@ -67,11 +68,14 @@ class ObjectEncoder(nn.Module):
             if "color" not in self.use_features:
                 rgb_in = jnp.zeros_like(points_rgb)
             pn_out = PointNet2(self.num_classes, self.num_colors,
-                               dtype=self.dtype, name="pointnet")(
+                               dtype=self.dtype,
+                               eval_batch_stats=self.eval_batch_stats,
+                               name="pointnet")(
                 points_xyz, rgb_in, valid=valid, train=train
             )
             pn_feats = pn_out[f"features{self.pointnet_features}"]
             pn_feats = MLP((self.embed_dim,), dtype=self.dtype,
+                           eval_batch_stats=self.eval_batch_stats,
                            name="mlp_pointnet")(
                 pn_feats, mask=valid, train=train
             )
@@ -92,6 +96,7 @@ class ObjectEncoder(nn.Module):
                 features.append(l2_normalize(emb))
             else:
                 emb = MLP((64, self.embed_dim), dtype=self.dtype,
+                          eval_batch_stats=self.eval_batch_stats,
                           name="color_encoder")(
                     colors, mask=valid, train=train
                 )
@@ -99,6 +104,7 @@ class ObjectEncoder(nn.Module):
 
         if "position" in self.use_features:
             emb = MLP((64, self.embed_dim), dtype=self.dtype,
+                      eval_batch_stats=self.eval_batch_stats,
                       name="pos_encoder")(
                 centers, mask=valid, train=train
             )
@@ -106,7 +112,9 @@ class ObjectEncoder(nn.Module):
 
         if len(features) > 1:
             fused = jnp.concatenate(features, axis=-1)
-            out = MLP((self.embed_dim,), dtype=self.dtype, name="mlp_merge")(
+            out = MLP((self.embed_dim,), dtype=self.dtype,
+                      eval_batch_stats=self.eval_batch_stats,
+                      name="mlp_merge")(
                 fused, mask=valid, train=train
             )
         else:

@@ -84,6 +84,7 @@ class _SeparablePointConvMLP(nn.Module):
 
     channels: tuple
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, xpos: jnp.ndarray, cent: jnp.ndarray,
@@ -94,10 +95,13 @@ class _SeparablePointConvMLP(nn.Module):
         aj = jnp.einsum("bskn,bnc->bskc", sel.astype(a.dtype), a)     # [B,S,K,c1]
         pre1 = aj - cproj[:, :, None, :]
 
-        h = MaskedBatchNorm(name="bn_0")(pre1, mask=mask, train=train)
+        ebs = self.eval_batch_stats
+        h = MaskedBatchNorm(name="bn_0", eval_batch_stats=ebs)(
+            pre1, mask=mask, train=train)
         h = nn.relu(h)
         h = nn.Dense(c2, dtype=self.dtype, name="dense_1")(h)
-        h = MaskedBatchNorm(name="bn_1")(h, mask=mask, train=train)
+        h = MaskedBatchNorm(name="bn_1", eval_batch_stats=ebs)(
+            h, mask=mask, train=train)
         return nn.relu(h)
 
 
@@ -113,6 +117,7 @@ class SetAbstraction(nn.Module):
     mlp_channels: tuple
     max_neighbors: int = 32
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray,
@@ -148,6 +153,7 @@ class SetAbstraction(nn.Module):
             mask = mask & valid[:, None, None]
 
         h = _SeparablePointConvMLP(self.mlp_channels, dtype=self.dtype,
+                                   eval_batch_stats=self.eval_batch_stats,
                                    name="conv_mlp")(
             jnp.concatenate([x, pos], axis=-1), cent, sel, mask, train)
 
@@ -160,6 +166,7 @@ class GlobalAbstraction(nn.Module):
 
     mlp_channels: tuple
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray,
@@ -169,6 +176,7 @@ class GlobalAbstraction(nn.Module):
         if valid is not None:
             mask = jnp.broadcast_to(valid[:, None], h.shape[:2])
         h = MLP(self.mlp_channels, dtype=self.dtype,
+                eval_batch_stats=self.eval_batch_stats,
                 name="mlp")(h, mask=mask, train=train)
         return jnp.max(h, axis=1)                                    # [B, C]
 
@@ -184,6 +192,7 @@ class PointNet2(nn.Module):
     num_classes: int
     num_colors: int
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     dim0: int = 1024
     dim1: int = 512
@@ -200,13 +209,18 @@ class PointNet2(nn.Module):
         """
         x, pos = rgb, xyz
         dt = self.dtype
+        ebs = self.eval_batch_stats
         x, pos = SetAbstraction(0.5, 0.2, (32, 64), dtype=dt,
+                                eval_batch_stats=ebs,
                                 name="sa1")(x, pos, valid, train)
         x, pos = SetAbstraction(0.5, 0.3, (128, 128), dtype=dt,
+                                eval_batch_stats=ebs,
                                 name="sa2")(x, pos, valid, train)
         x, pos = SetAbstraction(0.5, 0.4, (256, 256), dtype=dt,
+                                eval_batch_stats=ebs,
                                 name="sa3")(x, pos, valid, train)
         features0 = GlobalAbstraction((512, self.dim0), dtype=dt,
+                                      eval_batch_stats=ebs,
                                       name="ga")(x, pos, valid, train)
 
         features1 = nn.relu(nn.Dense(self.dim1, dtype=dt, name="lin1")(features0))

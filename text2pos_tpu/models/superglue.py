@@ -72,6 +72,7 @@ class AttentionalPropagation(nn.Module):
     feature_dim: int
     num_heads: int = 4
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, source: jnp.ndarray,
@@ -82,6 +83,7 @@ class AttentionalPropagation(nn.Module):
         h = jnp.concatenate([x, message.astype(x.dtype)], axis=-1)
         return SuperGlueMLP((self.feature_dim * 2, self.feature_dim),
                             dtype=self.dtype,
+                            eval_batch_stats=self.eval_batch_stats,
                             name="mlp")(h, train=train)
 
 
@@ -95,12 +97,14 @@ class AttentionalGNN(nn.Module):
     feature_dim: int
     layer_names: Tuple[str, ...]
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
                  train: bool = True):
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(self.feature_dim, dtype=self.dtype,
+                                           eval_batch_stats=self.eval_batch_stats,
                                            name=f"layer_{i}")
             if name == "cross":
                 src0, src1 = desc1, desc0
@@ -122,6 +126,7 @@ class SuperGlue(nn.Module):
     sinkhorn_iterations: int = 50
     match_threshold: float = 0.2
     dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
@@ -137,6 +142,7 @@ class SuperGlue(nn.Module):
             names = tuple(["self", "cross"] * self.num_layers)
             desc0, desc1 = AttentionalGNN(self.descriptor_dim, names,
                                           dtype=self.dtype,
+                                          eval_batch_stats=self.eval_batch_stats,
                                           name="gnn")(desc0, desc1, train=train)
 
         final = nn.Dense(self.descriptor_dim, dtype=self.dtype,
