@@ -133,6 +133,10 @@ class EvalConfig:
     fine_oracle: bool = False
     fine_random: bool = False
 
+    # TPU-native addition: shard DB-cell encoding over a 'dp' device mesh
+    # (SURVEY.md §2.3 eval sharding; no reference equivalent).
+    data_parallel: int = 1
+
     pointnet_numpoints: int = 256
     ranking_loss: str = "pairwise"
     regressor_cell: str = "pose"

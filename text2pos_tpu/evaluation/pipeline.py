@@ -44,12 +44,26 @@ class LocalizationPipeline:
     """Bundles the coarse retriever + fine matcher for end-to-end eval."""
 
     def __init__(self, coarse: CoarseTrainer, coarse_state: TrainState,
-                 fine: FineTrainer, fine_state: TrainState, cfg: EvalConfig):
+                 fine: FineTrainer, fine_state: TrainState, cfg: EvalConfig,
+                 mesh=None):
         self.coarse = coarse
         self.coarse_state = coarse_state
         self.fine = fine
         self.fine_state = fine_state
         self.cfg = cfg
+        # Optional 1-D 'dp' mesh: DB-cell encoding is sharded over it
+        # (built by main() from --data_parallel; SURVEY.md §2.3).
+        self.mesh = mesh
+
+    def _encode_db_cells(self, bank) -> np.ndarray:
+        if self.mesh is not None:
+            from text2pos_tpu.parallel.dp import dp_encode_all_cells
+
+            return dp_encode_all_cells(self.coarse, self.coarse_state, bank,
+                                       self.mesh,
+                                       jax.random.PRNGKey(self.cfg.seed))
+        return self.coarse.encode_all_cells(
+            self.coarse_state, bank, jax.random.PRNGKey(self.cfg.seed))
 
     # ------------------------------------------------------------------
     # Coarse stage
@@ -71,8 +85,7 @@ class LocalizationPipeline:
             top_idx = self._street_oracle_retrieval(loader, poses, max_k)
         else:
             text_enc = self.coarse.encode_all_queries(self.coarse_state, loader)
-            cell_enc = self.coarse.encode_all_cells(
-                self.coarse_state, bank, jax.random.PRNGKey(cfg.seed))
+            cell_enc = self._encode_db_cells(bank)
             _, top_idx = topk_retrieval(
                 jnp.asarray(text_enc), jnp.asarray(cell_enc), max_k)
             top_idx = np.asarray(top_idx)
@@ -115,8 +128,7 @@ class LocalizationPipeline:
                               for scene in scenes}
 
         text_enc = self.coarse.encode_all_queries(self.coarse_state, loader)
-        cell_enc = self.coarse.encode_all_cells(
-            self.coarse_state, bank, jax.random.PRNGKey(cfg.seed))
+        cell_enc = self._encode_db_cells(bank)
 
         cell_centers = 0.5 * (bank.bbox_w[:, 0:3] + bank.bbox_w[:, 3:6])
         pose_w = np.array([p.pose_w for p in poses])
@@ -429,48 +441,47 @@ class LocalizationPipeline:
         return self._accuracies(poses, bank, top_idx, pos)
 
 
-def main():
-    """CLI entry: python -m text2pos_tpu.evaluation.pipeline
-    (reference evaluation/pipeline.py:282-343)."""
-    from text2pos_tpu.config import parse_config
-    from text2pos_tpu.data.loaders import CoarseLoader
-    from text2pos_tpu.evaluation.metrics import print_accuracies
-    from text2pos_tpu.train.state import TrainState, load_checkpoint, make_optimizer
-    from text2pos_tpu.utils.cli import load_split
+def build_pipeline_from_checkpoints(cfg: EvalConfig, path_coarse: str,
+                                    path_fine: str, dtype: Optional[str] = None
+                                    ) -> Tuple["LocalizationPipeline",
+                                               Vocabulary, Vocabulary]:
+    """Restore both stages from msgpack checkpoints into a ready pipeline.
 
-    cfg = parse_config(EvalConfig)
-    split = "test" if cfg.use_test_set else "val"
-    cells, poses = load_split(cfg, split)
+    The checkpoints carry their vocab + model hyperparameters in ``extra``
+    (saved by train.coarse/train.fine); ``dtype`` optionally overrides the
+    compute dtype of the restored model bodies (e.g. "bfloat16" serving).
+    Returns (pipeline, coarse_vocab, fine_vocab).
+    """
+    from text2pos_tpu.train.state import load_checkpoint, make_optimizer
 
-    # Restore models: vocab + params live in the msgpack checkpoints.
-    coarse_payload = load_checkpoint(cfg.path_coarse)
-    fine_payload = load_checkpoint(cfg.path_fine)
+    coarse_payload = load_checkpoint(path_coarse)
+    fine_payload = load_checkpoint(path_fine)
     vocab = Vocabulary(coarse_payload["extra"]["known_words"])
     fine_vocab = Vocabulary(fine_payload["extra"].get(
         "known_words", coarse_payload["extra"]["known_words"]))
 
     cx, fx = coarse_payload["extra"], fine_payload["extra"]
-    ctrain_cfg = TrainConfig(
+    common = dict(
         batch_size=cfg.batch_size,
-        embed_dim=cx.get("embed_dim", 256),
-        variation=cx.get("variation", 0),
-        use_features=tuple(cx.get("use_features",
-                                  ("class", "color", "position"))),
         pointnet_numpoints=cfg.pointnet_numpoints,
         coarse_max_objects=cfg.coarse_max_objects,
         num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
         no_pc_augment=cfg.no_pc_augment)
+    if dtype is not None:
+        common["dtype"] = dtype
+    ctrain_cfg = TrainConfig(
+        embed_dim=cx.get("embed_dim", 256),
+        variation=cx.get("variation", 0),
+        use_features=tuple(cx.get("use_features",
+                                  ("class", "color", "position"))),
+        **common)
     ftrain_cfg = TrainConfig(
-        batch_size=cfg.batch_size,
         embed_dim=fx.get("embed_dim", 128),
         num_layers=fx.get("num_layers", 6),
         sinkhorn_iters=fx.get("sinkhorn_iters", 50),
         use_features=tuple(fx.get("use_features",
                                   ("class", "color", "position"))),
-        pointnet_numpoints=cfg.pointnet_numpoints,
-        coarse_max_objects=cfg.coarse_max_objects,
-        num_mentioned=cfg.num_mentioned, pad_size=cfg.pad_size,
-        no_pc_augment=cfg.no_pc_augment)
+        **common)
 
     coarse = CoarseTrainer(ctrain_cfg, vocab)
     fine = FineTrainer(ftrain_cfg, fine_vocab)
@@ -479,7 +490,29 @@ def main():
                                coarse_payload["batch_stats"], tx)
     fstate = TrainState.create(fine_payload["params"],
                                fine_payload["batch_stats"], tx)
-    pipe = LocalizationPipeline(coarse, cstate, fine, fstate, cfg)
+    mesh = None
+    if getattr(cfg, "data_parallel", 1) > 1:
+        from text2pos_tpu.parallel.dp import make_mesh
+
+        mesh = make_mesh(cfg.data_parallel)
+    pipe = LocalizationPipeline(coarse, cstate, fine, fstate, cfg, mesh=mesh)
+    return pipe, vocab, fine_vocab
+
+
+def main():
+    """CLI entry: python -m text2pos_tpu.evaluation.pipeline
+    (reference evaluation/pipeline.py:282-343)."""
+    from text2pos_tpu.config import parse_config
+    from text2pos_tpu.data.loaders import CoarseLoader
+    from text2pos_tpu.evaluation.metrics import print_accuracies
+    from text2pos_tpu.utils.cli import load_split
+
+    cfg = parse_config(EvalConfig)
+    split = "test" if cfg.use_test_set else "val"
+    cells, poses = load_split(cfg, split)
+
+    pipe, vocab, fine_vocab = build_pipeline_from_checkpoints(
+        cfg, cfg.path_coarse, cfg.path_fine)
 
     loader = CoarseLoader(cells, poses, vocab, cfg.batch_size,
                           cfg.coarse_max_objects, cfg.pointnet_numpoints,

@@ -166,6 +166,56 @@ def dp_fine_train_step(trainer, mesh: Mesh):
     return step
 
 
+def dp_train_epoch(step, trainer, state: TrainState, loader, epoch: int,
+                   rng: jax.Array, num_devices: int):
+    """Drive one DP epoch: group the loader's per-device batches into
+    [D, local, ...] stacks and run the given DP ``step`` on each group.
+
+    The trailing group smaller than D devices is dropped (static shapes),
+    matching the drop-last semantics of the single-device epoch.
+    """
+    losses = []
+    micro, i = [], 0
+    for batch in loader.epoch(seed=trainer.cfg.seed * 10_000 + epoch):
+        micro.append(batch)
+        if len(micro) == num_devices:
+            step_rng = jax.random.fold_in(rng, i)
+            i += 1
+            state, loss = step(state, stack_microbatches(micro), step_rng)
+            losses.append(float(loss))
+            micro = []
+        if trainer.cfg.max_batches is not None and i >= trainer.cfg.max_batches:
+            break
+    return state, float(np.mean(losses)) if losses else float("nan")
+
+
+def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
+                        rng: jax.Array) -> np.ndarray:
+    """Encode every DB cell with the retrieval model, cells sharded over the
+    mesh (SURVEY.md §2.3 eval sharding). Returns [C, E] like
+    ``CoarseTrainer.encode_all_cells``."""
+    from text2pos_tpu.data.dense import flatten_bank_slice
+
+    D = mesh.devices.size
+    B = trainer.cfg.batch_size          # cells per device per step
+    flat_cap = B * trainer.cfg.coarse_max_objects
+    encode = dp_encode_cells(trainer, mesh, B)
+    out = []
+    group = B * D
+    for i in range(0, bank.num_cells, group):
+        idx = np.arange(i, min(i + group, bank.num_cells))
+        real = len(idx)
+        if real < group:
+            idx = np.concatenate([idx, np.zeros(group - real, np.int64)])
+        micro = [flatten_bank_slice(bank, idx[d * B:(d + 1) * B], flat_cap)
+                 for d in range(D)]
+        stacked = {k: jnp.asarray(v)
+                   for k, v in stack_microbatches(micro).items()}
+        enc = encode(state, stacked, jax.random.fold_in(rng, i))
+        out.append(np.asarray(enc)[:real])
+    return np.concatenate(out)
+
+
 def dp_encode_cells(trainer, mesh: Mesh, cells_per_device: int):
     """DP evaluation sharding: encode DB cells sharded over devices and
     all-gather the (small) [C, E] embedding matrix (SURVEY.md §2.3).

@@ -286,6 +286,7 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
         # loaders are still used for initialization and evaluation.
         from text2pos_tpu.train.fused_coarse import FusedCoarseTrainer
 
+        assert cfg.data_parallel <= 1, "--fused and --data_parallel exclude"
         trainer = FusedCoarseTrainer(cfg, vocab, cells_train, poses_train,
                                      seed=cfg.seed)
     else:
@@ -298,6 +299,17 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
           if cfg.lr_idx is not None else cfg.learning_rate)
     state = trainer.init_state(first_batch, rng, steps_per_epoch,
                                learning_rate=lr)
+
+    dp_step = None
+    if cfg.data_parallel > 1:
+        # Batch-sharded training over a 1-D 'dp' mesh (SURVEY.md §2.3);
+        # cfg.batch_size is the per-device batch. pmean'd grads/BN stats;
+        # --global_negatives all-gathers both towers for the ranking loss.
+        from text2pos_tpu.parallel.dp import dp_coarse_train_step, make_mesh
+
+        mesh = make_mesh(cfg.data_parallel)
+        dp_step = dp_coarse_train_step(trainer, mesh,
+                                       global_negatives=cfg.global_negatives)
 
     from text2pos_tpu.utils.profiling import MetricsLogger, enable_nan_tripwire
 
@@ -313,6 +325,11 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
         t0 = time.time()
         if cfg.fused:
             state, loss = trainer.fused_train_epoch(state, epoch, rng)
+        elif dp_step is not None:
+            from text2pos_tpu.parallel.dp import dp_train_epoch
+
+            state, loss = dp_train_epoch(dp_step, trainer, state, loader_train,
+                                         epoch, rng, cfg.data_parallel)
         else:
             state, loss = trainer.train_epoch(state, loader_train, epoch, rng)
         train_acc, _, _ = trainer.eval_epoch(state, loader_train, cfg.top_k)

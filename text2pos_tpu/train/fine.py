@@ -223,6 +223,7 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     if cfg.fused:
         from text2pos_tpu.train.fused_fine import FusedFineTrainer
 
+        assert cfg.data_parallel <= 1, "--fused and --data_parallel exclude"
         trainer = FusedFineTrainer(cfg, vocab, cells_train, poses_train,
                                    seed=cfg.seed)
     else:
@@ -235,6 +236,15 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
           if cfg.lr_idx is not None else cfg.learning_rate)
     state = trainer.init_state(first_batch, rng, steps_per_epoch,
                                learning_rate=lr)
+
+    dp_step = None
+    if cfg.data_parallel > 1:
+        # Batch-sharded DP over a 1-D mesh (SURVEY.md §2.3); per-device
+        # batch = cfg.batch_size, grads/BN stats pmean'd over ICI.
+        from text2pos_tpu.parallel.dp import dp_fine_train_step, make_mesh
+
+        mesh = make_mesh(cfg.data_parallel)
+        dp_step = dp_fine_train_step(trainer, mesh)
 
     from text2pos_tpu.utils.profiling import MetricsLogger, enable_nan_tripwire
 
@@ -250,6 +260,13 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
         if cfg.fused:
             state, fused_loss = trainer.fused_train_epoch(state, epoch, rng)
             train_stats = {"loss": fused_loss}
+        elif dp_step is not None:
+            from text2pos_tpu.parallel.dp import dp_train_epoch
+
+            state, dp_loss = dp_train_epoch(dp_step, trainer, state,
+                                            loader_train, epoch, rng,
+                                            cfg.data_parallel)
+            train_stats = {"loss": dp_loss}
         else:
             state, train_stats = trainer.run_epoch(state, loader_train, epoch,
                                                    rng, train=True)
