@@ -104,8 +104,20 @@ def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Restore a msgpack checkpoint with weight trees placed on device.
+
+    msgpack_restore yields host numpy trees; left that way, every jitted
+    call re-uploads all parameters (tens of MB) host→device — on a
+    remote-attached runtime that dominates serving latency (measured
+    ~4 s/call through the tunnel vs ~0.13 s once resident). ``extra``
+    (vocab, hyperparameters) stays host-side.
+    """
     with open(path, "rb") as f:
-        return flax.serialization.msgpack_restore(f.read())
+        payload = flax.serialization.msgpack_restore(f.read())
+    for key in ("params", "batch_stats"):
+        if key in payload:
+            payload[key] = jax.device_put(payload[key])
+    return payload
 
 
 def restore_variables(path: str) -> Dict[str, Any]:
