@@ -1,4 +1,4 @@
-"""End-to-end localization throughput benchmark (single TPU chip).
+"""End-to-end localization throughput + accuracy benchmark (single TPU chip).
 
 Measures the serving path of the rebuilt Text2Pos pipeline at the published
 evaluation protocol (top-10 retrieval, pad_size 16, 256 points/object,
@@ -10,6 +10,13 @@ iterations — reference README.md:61-62, evaluation/args.py:22-26,53):
 
 against a pre-encoded cell database (the map is static at serving time).
 
+Scale: 8 held-out synthetic scenes × 256 cells = 2048 DB cells (a
+KITTI360Pose-val-sized database) and 2048 queries. Accuracy is reported
+with TRAINED weights when ``checkpoints/bench_{coarse,fine}.msgpack``
+exist (produced by scripts/train_bench_ckpts.py on a disjoint multi-scene
+corpus — the benchmark scenes are never trained on); falls back to
+randomly initialized models (throughput-only) when absent.
+
 ``vs_baseline`` compares the batched, fully-jitted pipeline against a
 *reference-style* execution of the same models on the same chip: one query
 at a time, retrieval as a host numpy matmul + argsort, fine matching with
@@ -17,39 +24,53 @@ batch = top-k only — the execution pattern of the PyTorch reference
 (/root/reference/evaluation/pipeline.py:190-202, training/coarse.py:134-158),
 which processes poses in a Python loop with per-step host↔device traffic.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+accuracy brackets (random/oracle), per-stage device times and a fine-stage
+MFU estimate as additional keys.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-import os
-
-# Benchmark scale: a KITTI360Pose-val-sized problem. Overridable via env
-# for scaling studies (e.g. T2P_BENCH_GRID=32 → ~1024 DB cells).
-#
-# The serving program is latency-dominated at small batches (~130 ms fixed
-# dispatch+transfer vs ~0.11-0.14 ms/query marginal compute on v5e), so the
-# default batch is 2048 queries — realistic for evaluation sweeps and
-# high-load serving, with ~0.4 s batch latency. Measured scaling (bf16,
-# 256-cell DB): 128q→902 q/s, 256q→1558, 512q→2959, 1024q→4144,
-# 2048q→4963, 4096q→5851.
+# Benchmark scale. A 2048-cell DB (8 scenes × 16×16 grid) ≈ the val-scene
+# DB size of KITTI360Pose; 2048 queries ≈ a val-sized query sweep.
+NUM_SCENES = int(os.environ.get("T2P_BENCH_SCENES", 8))
 NUM_CELLS_GRID = int(os.environ.get("T2P_BENCH_GRID", 16))
 NUM_QUERIES = int(os.environ.get("T2P_BENCH_QUERIES", 2048))
 TOP_K = 10
 BASELINE_QUERIES = int(os.environ.get("T2P_BENCH_BASELINE_QUERIES", 8))
 # Compute dtype for the model bodies. Params, attention logits, softmax,
-# the score matrix, Sinkhorn and L2 norms stay float32 (DESIGN.md §6);
-# bfloat16 bodies measure ~8% faster at identical synthetic accuracy and
-# are the intended TPU deployment mode.
+# the score matrix, Sinkhorn and L2 norms stay float32 (DESIGN.md §6).
 DTYPE = os.environ.get("T2P_BENCH_DTYPE", "bfloat16")
+CKPT_COARSE = os.environ.get("T2P_BENCH_CKPT_COARSE",
+                             "checkpoints/bench_coarse.msgpack")
+CKPT_FINE = os.environ.get("T2P_BENCH_CKPT_FINE",
+                           "checkpoints/bench_fine.msgpack")
 
 COARSE_DIM = 256
 FINE_DIM = 128
+PEAK_TFLOPS = float(os.environ.get("T2P_BENCH_PEAK_TFLOPS", 197.0))  # v5e bf16
+
+
+def make_bench_dataset():
+    """8 synthetic scenes, 2048 DB cells, ≥NUM_QUERIES held-out poses."""
+    from text2pos_tpu.data.synthetic import make_synthetic_dataset
+
+    cells, poses = [], []
+    for s in range(NUM_SCENES):
+        c, p = make_synthetic_dataset(
+            seed=s, scene_name=f"99{s:02d}", extent=30.0 * NUM_CELLS_GRID,
+            cell_size=30.0, poses_per_cell=2, objects_per_cell_area=12)
+        cells += c
+        poses += p
+    while len(poses) < NUM_QUERIES:
+        poses = poses + poses
+    return cells, poses[:NUM_QUERIES]
 
 
 def build():
@@ -58,51 +79,49 @@ def build():
     from text2pos_tpu.config import EvalConfig, TrainConfig
     from text2pos_tpu.data.hints import (
         Vocabulary, build_vocabulary, create_hint_description)
-    from text2pos_tpu.data.loaders import CoarseLoader, FineLoader
-    from text2pos_tpu.data.synthetic import make_synthetic_dataset
-    from text2pos_tpu.evaluation.pipeline import LocalizationPipeline
-    from text2pos_tpu.train.coarse import CoarseTrainer
-    from text2pos_tpu.train.fine import FineTrainer
+    from text2pos_tpu.data.loaders import CoarseLoader
+    from text2pos_tpu.evaluation.pipeline import (
+        LocalizationPipeline, build_pipeline_from_checkpoints)
 
-    cells, poses = make_synthetic_dataset(
-        seed=0, extent=30.0 * NUM_CELLS_GRID, cell_size=30.0,
-        poses_per_cell=1, objects_per_cell_area=12)
-    rng_np = np.random.default_rng(0)
-    while len(poses) < NUM_QUERIES:
-        poses = poses + poses
-    poses = poses[:NUM_QUERIES]
+    cells, poses = make_bench_dataset()
 
-    ccfg = TrainConfig(batch_size=64, embed_dim=COARSE_DIM, num_layers=6,
-                       sinkhorn_iters=50, pointnet_numpoints=256,
-                       coarse_max_objects=24, pad_size=16, num_mentioned=6,
-                       dtype=DTYPE)
-    fcfg = TrainConfig(batch_size=32, embed_dim=FINE_DIM, num_layers=6,
-                       sinkhorn_iters=50, pointnet_numpoints=256,
-                       coarse_max_objects=24, pad_size=16, num_mentioned=6,
-                       dtype=DTYPE)
     ecfg = EvalConfig(top_k=(1, 5, TOP_K), threshs=(5, 10, 15), pad_size=16,
                       num_mentioned=6, pointnet_numpoints=256)
 
-    vocab = Vocabulary(build_vocabulary(
-        [create_hint_description(p) for p in poses]))
+    trained = os.path.isfile(CKPT_COARSE) and os.path.isfile(CKPT_FINE)
+    if trained:
+        pipe, vocab, _ = build_pipeline_from_checkpoints(
+            ecfg, CKPT_COARSE, CKPT_FINE, dtype=DTYPE)
+    else:
+        # Random-init fallback: throughput is valid, accuracy is not.
+        from text2pos_tpu.train.coarse import CoarseTrainer
+        from text2pos_tpu.train.fine import FineTrainer
 
-    coarse_loader = CoarseLoader(cells, poses, vocab, ccfg.batch_size,
-                                 ccfg.coarse_max_objects,
-                                 ccfg.pointnet_numpoints, ccfg.max_text_len)
-    coarse = CoarseTrainer(ccfg, vocab)
-    fine = FineTrainer(fcfg, vocab)
+        vocab = Vocabulary(build_vocabulary(
+            [create_hint_description(p) for p in poses]))
+        common = dict(num_layers=6, sinkhorn_iters=50,
+                      pointnet_numpoints=256, coarse_max_objects=24,
+                      pad_size=16, num_mentioned=6, dtype=DTYPE)
+        coarse = CoarseTrainer(
+            TrainConfig(batch_size=64, embed_dim=COARSE_DIM, **common), vocab)
+        fine = FineTrainer(
+            TrainConfig(batch_size=32, embed_dim=FINE_DIM, **common), vocab)
+        rng = jax.random.PRNGKey(0)
+        loader0 = CoarseLoader(cells, poses, vocab, 64, 24, 256, 64)
+        cstate = coarse.init_state(next(loader0.epoch(seed=0,
+                                                      drop_last=False)), rng, 1)
+        from text2pos_tpu.data.loaders import FineLoader
 
-    rng = jax.random.PRNGKey(0)
-    cbatch = next(coarse_loader.epoch(seed=0, drop_last=False))
-    cstate = coarse.init_state(cbatch, rng, 1)
-    floader = FineLoader(cells, poses, vocab, fcfg.batch_size, fcfg.pad_size,
-                         fcfg.num_mentioned, fcfg.pointnet_numpoints,
-                         fcfg.max_hint_len)
-    fbatch = next(floader.epoch(seed=0, drop_last=False))
-    fstate = fine.init_state(fbatch, rng, 1)
+        floader = FineLoader(cells, poses, vocab, 32, 16, 6, 256, 16)
+        fstate = fine.init_state(next(floader.epoch(seed=0,
+                                                    drop_last=False)), rng, 1)
+        pipe = LocalizationPipeline(coarse, cstate, fine, fstate, ecfg)
 
-    pipe = LocalizationPipeline(coarse, cstate, fine, fstate, ecfg)
-    return pipe, coarse_loader, poses, vocab
+    coarse_loader = CoarseLoader(
+        cells, poses, vocab, pipe.coarse.cfg.batch_size,
+        pipe.coarse.cfg.coarse_max_objects,
+        pipe.coarse.cfg.pointnet_numpoints, pipe.coarse.cfg.max_text_len)
+    return pipe, coarse_loader, poses, vocab, trained
 
 
 def _enable_compile_cache():
@@ -115,16 +134,37 @@ def _enable_compile_cache():
         pass
 
 
+def _fine_stage_flops(B: int, K: int, T0: int = 16, T1: int = 6,
+                      E: int = FINE_DIM, L: int = 6) -> float:
+    """Analytic forward FLOPs of the fine matching stage per query batch:
+    2·L alternating attention blocks (projections, attention core, MLP)
+    over B·K pose-cell pairs + final projection + score matrix."""
+    pairs = B * K
+    per_block = 0.0
+    for cross in (False, True):
+        s0, s1 = (T1, T0) if cross else (T0, T1)
+        for t, s in ((T0, s0), (T1, s1)):
+            proj = (t + 2 * s + t) * E * E * 2          # q, k, v, merge
+            core = 2 * (t * s) * E * 2                   # scores + weighted sum
+            mlp = t * (2 * E * 2 * E + 2 * E * E) * 2    # [2E→2E→E]
+            per_block += proj + core + mlp
+    total = L * per_block                                 # L self+cross pairs
+    total += (T0 + T1) * E * E * 2                        # final projection
+    total += T0 * T1 * E * 2                              # score matrix
+    return float(total) * pairs
+
+
 def run():
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
 
-    pipe, loader, poses, vocab = build()
+    pipe, loader, poses, vocab, trained = build()
     bank = loader.bank
     print(f"# bench: {bank.num_cells} DB cells, {len(poses)} queries, "
-          f"dtype={DTYPE}, devices={jax.devices()}", flush=True)
+          f"dtype={DTYPE}, trained_weights={trained}, "
+          f"devices={jax.devices()}", flush=True)
 
     # ------------------------------------------------------------------
     # Offline: pre-encode the cell database — coarse retrieval embeddings
@@ -158,7 +198,7 @@ def run():
     hint_tokens = np.zeros((len(poses), H, Th), np.int32)
     hint_lengths = np.ones((len(poses), H), np.int32)
     for i, p in enumerate(poses):
-        tk, ln = vocab.encode_batch(create_hint_description(p), Th)
+        tk, ln = vocab.encode_batch(create_hint_description(p)[:H], Th)
         hint_tokens[i, : len(tk)] = tk
         hint_lengths[i, : len(ln)] = ln
 
@@ -194,11 +234,63 @@ def run():
     elapsed = (time.time() - t0) / reps
     qps = len(poses) / elapsed
     inv = np.argsort(perms[reps - 1])
-    accs = pipe._accuracies(poses, bank, np.asarray(top_idx)[inv],
-                            np.asarray(pos_offsets)[inv])
+    top_idx, pos_offsets = np.asarray(top_idx)[inv], np.asarray(pos_offsets)[inv]
+    accs = pipe._accuracies(poses, bank, top_idx, pos_offsets)
+    acc10_15 = accs[TOP_K][15]
     print(f"# steady-state: {len(poses)} queries in {elapsed:0.3f}s "
-          f"→ {qps:0.1f} q/s; top-{TOP_K}@15m(synthetic)={accs[TOP_K][15]:0.2f}",
+          f"→ {qps:0.1f} q/s; top-{TOP_K}@15m={acc10_15:0.3f} "
+          f"(top-1@15m={accs[1][15]:0.3f}, top-{TOP_K}@5m={accs[TOP_K][5]:0.3f})",
           flush=True)
+
+    # Accuracy brackets (reference oracle modes, evaluation/args.py:44-50):
+    # random retrieval from below, perfect in-cell positions from above.
+    rng_np = np.random.default_rng(0)
+    rand_idx = rng_np.integers(0, bank.num_cells, size=top_idx.shape)
+    acc_random = pipe._accuracies(
+        poses, bank, rand_idx,
+        np.full(top_idx.shape + (2,), 0.5))[TOP_K][15]
+    acc_oracle = pipe.run_fine_oracle(loader, poses, top_idx)[TOP_K][15]
+    print(f"# brackets: coarse_random={acc_random:0.3f} ≤ model={acc10_15:0.3f}"
+          f" ≤ fine_oracle(same retrievals)={acc_oracle:0.3f}", flush=True)
+
+    # ------------------------------------------------------------------
+    # Per-stage device time + fine-stage MFU (3 timed reps, distinct args).
+    # ------------------------------------------------------------------
+    cstate, fstate = pipe.coarse_state, pipe.fine_state
+
+    def _timed(fn, arglists):
+        out = fn(*arglists[-1])
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for a in arglists[:-1]:
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / (len(arglists) - 1) * 1000.0
+
+    @jax.jit
+    def _text_retrieve(tk, ln):
+        enc = pipe.coarse.model.apply(
+            {"params": cstate.params, "batch_stats": cstate.batch_stats},
+            tk, ln, method=type(pipe.coarse.model).encode_text)
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+
+        return topk_retrieval(enc, cell_enc_dev, TOP_K)[1]
+
+    @jax.jit
+    def _fine_match(tidx, htk, hln):
+        return pipe._match_chunk_cached(fstate, fine_bank[0], fine_bank[1],
+                                        tidx, htk, hln)
+
+    tr_ms = _timed(_text_retrieve, [(a[0], a[1]) for a in rep_args])
+    tops_dev = [_text_retrieve(a[0], a[1]) for a in rep_args]
+    jax.block_until_ready(tops_dev)
+    fine_ms = _timed(_fine_match,
+                     [(t, a[2], a[3]) for t, a in zip(tops_dev, rep_args)])
+    fine_flops = _fine_stage_flops(len(poses), TOP_K)
+    fine_mfu = fine_flops / (fine_ms / 1000.0) / (PEAK_TFLOPS * 1e12) * 100.0
+    print(f"# device stages: text+retrieval {tr_ms:0.1f} ms, fine match "
+          f"{fine_ms:0.1f} ms ({fine_flops/1e9:0.1f} GFLOP → {fine_mfu:0.2f}% "
+          f"MFU of {PEAK_TFLOPS:0.0f} TFLOP/s peak)", flush=True)
 
     # ------------------------------------------------------------------
     # Reference-style execution: per-query host loop (same models, same
@@ -218,7 +310,6 @@ def run():
         order = np.argsort(-scores)[:TOP_K]              # host argsort
         pipe.run_fine(loader, [poses[qi]], order[None], vocab, chunk=1,
                       use_cache=False)                    # re-encode per query
-
     one_query(0)  # compile the chunk=1 path
     t0 = time.time()
     for qi in range(BASELINE_QUERIES):
@@ -233,6 +324,16 @@ def run():
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(qps / ref_qps, 2),
+        "db_cells": int(bank.num_cells),
+        "queries": len(poses),
+        "trained_weights": trained,
+        "top10_at_15m": round(float(acc10_15), 4),
+        "top1_at_15m": round(float(accs[1][15]), 4),
+        "bracket_coarse_random": round(float(acc_random), 4),
+        "bracket_fine_oracle": round(float(acc_oracle), 4),
+        "device_ms_text_retrieval": round(tr_ms, 1),
+        "device_ms_fine_match": round(fine_ms, 1),
+        "fine_mfu_pct": round(fine_mfu, 2),
     }), flush=True)
 
 

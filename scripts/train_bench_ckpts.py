@@ -1,0 +1,139 @@
+"""Train the benchmark checkpoints on a multi-scene synthetic corpus.
+
+Produces ``checkpoints/bench_coarse.msgpack`` and
+``checkpoints/bench_fine.msgpack`` at the reference budgets (coarse:
+batch 64 / embed 256 / lr 1e-3; fine: batch 32 / embed 128 / 6 layer
+pairs / 50 Sinkhorn iterations — /root/reference/README.md:61-62) so that
+``bench.py`` measures throughput AND accuracy with *trained* weights.
+
+Corpus: 5 train scenes + 1 val scene (256-cell grid each, disjoint seeds
+from the benchmark scenes). The benchmark's own 8 scenes (seeds 0-7,
+scene names 99xx) are never seen in training — bench accuracy is
+held-out-scene generalization, mirroring the reference protocol of
+training on 5 KITTI360 scenes and evaluating on unseen ones
+(/root/reference/datapreparation/kitti360pose/utils.py:17-31).
+
+Usage: python scripts/train_bench_ckpts.py [--epochs N] [--probe]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TRAIN_SEEDS = list(range(100, 110))
+VAL_SEED = 77
+
+
+def build_corpus(poses_per_cell: int, seeds, tag: str):
+    from text2pos_tpu.data.synthetic import make_synthetic_dataset
+
+    cells, poses = [], []
+    for s in seeds:
+        c, p = make_synthetic_dataset(
+            seed=s, scene_name=f"{tag}{s:03d}", extent=30.0 * 16,
+            cell_size=30.0, poses_per_cell=poses_per_cell,
+            objects_per_cell_area=12)
+        cells += c
+        poses += p
+    return cells, poses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--fine_epochs", type=int, default=0,
+                    help="defaults to --epochs")
+    ap.add_argument("--coarse_lr", type=float, default=1e-3)
+    ap.add_argument("--fine_lr", type=float, default=3e-4)
+    ap.add_argument("--out_dir", default="checkpoints")
+    ap.add_argument("--skip_pointnet", action="store_true")
+    ap.add_argument("--skip_coarse", action="store_true")
+    ap.add_argument("--skip_fine", action="store_true")
+    ap.add_argument("--pointnet_epochs", type=int, default=12)
+    ap.add_argument("--pointnet_freeze", action="store_true")
+    ap.add_argument("--coarse_gamma", type=float, default=0.9)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/t2p_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from text2pos_tpu.config import TrainConfig
+
+    t0 = time.time()
+    cells_train, poses_train = build_corpus(3, TRAIN_SEEDS, "7")
+    cells_val, poses_val = build_corpus(1, [VAL_SEED], "7")
+    print(f"corpus: {len(cells_train)} train cells / {len(poses_train)} poses, "
+          f"{len(cells_val)} val cells / {len(poses_val)} poses "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    fine_epochs = args.fine_epochs or args.epochs
+
+    # Stage 0: PointNet++ pretraining on object classification — both
+    # stages seed their ObjectEncoder from it, exactly like the reference
+    # flow (training/pointcloud/pointnet2.py → object_encoder.py:43-46).
+    pn_path = os.path.join(args.out_dir, "bench_pointnet.msgpack")
+    if not args.skip_pointnet:
+        from text2pos_tpu.train import pointnet2
+
+        pcfg = TrainConfig(batch_size=64, learning_rate=1e-3, lr_gamma=0.95,
+                           epochs=args.pointnet_epochs,
+                           pointnet_numpoints=256)
+        t0 = time.time()
+        state, res = pointnet2.train(pcfg, cells_train, cells_val,
+                                     checkpoint_dir=args.out_dir)
+        print(f"pointnet pretraining done in {time.time()-t0:.0f}s, "
+              f"best={res['best_path']}", flush=True)
+        shutil.copy(res["best_path"], pn_path)
+    pn_kwargs = {}
+    if os.path.isfile(pn_path):
+        pn_kwargs = dict(pointnet_path=pn_path,
+                         pointnet_freeze=args.pointnet_freeze)
+
+    if not args.skip_coarse:
+        from text2pos_tpu.train import coarse
+
+        ccfg = TrainConfig(
+            batch_size=64, embed_dim=256, learning_rate=args.coarse_lr,
+            lr_gamma=args.coarse_gamma, epochs=args.epochs, fused=True,
+            coarse_max_objects=24, pointnet_numpoints=256,
+            pad_size=16, num_mentioned=6, **pn_kwargs)
+        t0 = time.time()
+        state, res = coarse.train(ccfg, cells_train, poses_train,
+                                  cells_val, poses_val,
+                                  checkpoint_dir=args.out_dir)
+        print(f"coarse training done in {time.time()-t0:.0f}s, "
+              f"best={res['best_path']}", flush=True)
+        shutil.copy(res["best_path"],
+                    os.path.join(args.out_dir, "bench_coarse.msgpack"))
+
+    if not args.skip_fine:
+        from text2pos_tpu.train import fine
+
+        fcfg = TrainConfig(
+            batch_size=32, embed_dim=128, learning_rate=args.fine_lr,
+            epochs=fine_epochs, fused=True, num_layers=6, sinkhorn_iters=50,
+            coarse_max_objects=24, pointnet_numpoints=256,
+            pad_size=16, num_mentioned=6, **pn_kwargs)
+        t0 = time.time()
+        state, res = fine.train(fcfg, cells_train, poses_train,
+                                cells_val, poses_val,
+                                checkpoint_dir=args.out_dir)
+        print(f"fine training done in {time.time()-t0:.0f}s, "
+              f"best={res['best_path']}", flush=True)
+        shutil.copy(res["best_path"],
+                    os.path.join(args.out_dir, "bench_fine.msgpack"))
+
+
+if __name__ == "__main__":
+    main()
