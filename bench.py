@@ -47,6 +47,9 @@ BASELINE_QUERIES = int(os.environ.get("T2P_BENCH_BASELINE_QUERIES", 8))
 # Compute dtype for the model bodies. Params, attention logits, softmax,
 # the score matrix, Sinkhorn and L2 norms stay float32 (DESIGN.md §6).
 DTYPE = os.environ.get("T2P_BENCH_DTYPE", "bfloat16")
+# Serving-time BN calibration (frozen population statistics, true eval
+# mode). 0 reverts to the reference's batch-stats serving semantics.
+CALIBRATE = os.environ.get("T2P_BENCH_CALIBRATE", "1") == "1"
 CKPT_COARSE = os.environ.get("T2P_BENCH_CKPT_COARSE",
                              "checkpoints/bench_coarse.msgpack")
 CKPT_FINE = os.environ.get("T2P_BENCH_CKPT_FINE",
@@ -178,19 +181,6 @@ def run():
     print(f"# coarse db encode: {bank.num_cells} cells in "
           f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
 
-    t0 = time.time()
-    bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
-        "points_xyz", "points_rgb", "point_count", "centers", "colors",
-        "class_idx", "color_idx", "mask")}
-    fine_bank = pipe.precompute_fine_bank(bank, bank_dev)
-    jax.block_until_ready(fine_bank)
-    print(f"# fine db encode: {bank.num_cells} cells in {time.time()-t0:0.1f}s "
-          f"(incl. compile)", flush=True)
-
-    # ------------------------------------------------------------------
-    # Serving path: the ENTIRE query batch in one jitted program
-    # (text encode → top-k retrieval → fine matching → positions).
-    # ------------------------------------------------------------------
     tokens, lengths = loader.all_query_tokens()
     from text2pos_tpu.data.hints import create_hint_description
 
@@ -201,6 +191,37 @@ def run():
         tk, ln = vocab.encode_batch(create_hint_description(p)[:H], Th)
         hint_tokens[i, : len(tk)] = tk
         hint_lengths[i, : len(ln)] = ln
+
+    t0 = time.time()
+    bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
+        "points_xyz", "points_rgb", "point_count", "centers", "colors",
+        "class_idx", "color_idx", "mask")}
+    if CALIBRATE:
+        # Freeze the fine stage's BN statistics on the serving population
+        # and serve in true eval mode: per-query results become independent
+        # of co-batched queries and the serving program is purely per-pair
+        # (pipeline.calibrated_for_serving). Calibration retrievals come
+        # from the model itself.
+        text_enc_cal = pipe.coarse.encode_all_queries(pipe.coarse_state,
+                                                      loader)
+        from text2pos_tpu.ops.retrieval import topk_retrieval as _topk
+
+        _, cal_idx = _topk(jnp.asarray(text_enc_cal), cell_enc_dev, TOP_K)
+        pipe, fine_bank = pipe.calibrated_for_serving(
+            bank, bank_dev, hint_tokens, hint_lengths, np.asarray(cal_idx))
+        jax.block_until_ready(fine_bank)
+        print(f"# fine db encode + BN calibration: {bank.num_cells} cells in "
+              f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
+    else:
+        fine_bank = pipe.precompute_fine_bank(bank, bank_dev)
+        jax.block_until_ready(fine_bank)
+        print(f"# fine db encode: {bank.num_cells} cells in "
+              f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
+
+    # ------------------------------------------------------------------
+    # Serving path: the ENTIRE query batch in one jitted program
+    # (text encode → top-k retrieval → fine matching → positions).
+    # ------------------------------------------------------------------
 
     # Distinct query orderings per repetition (pre-uploaded): repeated
     # identical inputs could be served from request-level caches in
@@ -327,6 +348,7 @@ def run():
         "db_cells": int(bank.num_cells),
         "queries": len(poses),
         "trained_weights": trained,
+        "bn_mode": "calibrated" if CALIBRATE else "batch_stats",
         "top10_at_15m": round(float(acc10_15), 4),
         "top1_at_15m": round(float(accs[1][15]), 4),
         "bracket_coarse_random": round(float(acc_random), 4),

@@ -250,6 +250,104 @@ class LocalizationPipeline:
         return (jnp.asarray(np.concatenate(enc_parts)),
                 jnp.asarray(np.concatenate(ctr_parts)))
 
+    def calibrated_for_serving(self, bank: CellBank, bank_dev: Dict,
+                               hint_tokens: np.ndarray,
+                               hint_lengths: np.ndarray,
+                               top_idx: np.ndarray,
+                               max_cells: int = 128):
+        """Freeze the fine stage's BatchNorms on population statistics and
+        return (serving_pipeline, fine_bank) that run in TRUE eval mode.
+
+        The reference's fine model always normalizes with current-batch BN
+        statistics (see models/matcher.py) — which couples every query's
+        result to whatever else happens to be in its serving batch, and
+        forces cross-pair reductions into the serving program. This method
+        removes both at no accuracy cost:
+
+         1. one eval forward over ≤``max_cells`` DB cells with mutable
+            batch_stats overwrites the object-encoder BN stats with that
+            population's statistics (MaskedBatchNorm calibration path);
+            the sample must fit one device forward (the PointNet++ SA
+            neighbor tensors scale linearly in cells — 128 cells ≈ 2×
+            the standard 64-cell encode chunk);
+         2. the fine bank is re-encoded in true eval mode with those stats;
+         3. one eval forward of the matcher over the given calibration
+            queries × retrievals (e.g. a representative query batch)
+            captures the SuperGlue GNN BN statistics the same way.
+
+        The returned pipeline's fine model has eval_batch_stats=False: the
+        serving program is purely per-pair (fusable end to end) and each
+        query's positions are independent of co-batched queries.
+
+        The GNN's weight-shared BNs normalize the object set and the hint
+        set by DIFFERENT statistics in batch-stats mode (one layer call per
+        set, reference superglue.py:141-144), so the serving model carries
+        one frozen statistics row per set (bn_stat_groups=2) — a single
+        row provably cannot reproduce both (measured recall collapse).
+        """
+        import copy
+
+        import flax
+
+        model = self.fine.model
+        rng = jax.random.PRNGKey(self.cfg.seed)
+
+        def widen_gnn_stats(batch_stats):
+            """[F] → [2, F] rows for the GNN's per-set BN statistics."""
+            bs = flax.core.unfreeze(batch_stats)
+            for layer in bs["superglue"]["gnn"].values():
+                bn = layer["mlp"]["bn_0"]
+                for key in ("mean", "var"):
+                    v = jnp.asarray(bn[key])
+                    if v.ndim == 1:
+                        bn[key] = jnp.tile(v[None], (2, 1))
+            return bs
+
+        # 1. Object-encoder population stats over a cell sample.
+        sample = np.arange(min(bank.num_cells, max_cells))
+        xyz, rgb, count, centers, colors, class_idx, color_idx = (
+            self._pad_filled_cell_tensors(bank_dev, jnp.asarray(sample), rng))
+        xyz, rgb = prepare_object_points(
+            xyz, rgb, count, self.fine.cfg.pointnet_numpoints,
+            jax.random.fold_in(rng, 1), augment=False,
+            no_pc_augment=self.fine.cfg.no_pc_augment)
+        _, upd = model.apply(
+            {"params": self.fine_state.params,
+             "batch_stats": self.fine_state.batch_stats},
+            xyz, rgb, centers, colors, class_idx, color_idx, train=False,
+            mutable=["batch_stats"],
+            method=type(model).encode_cell_objects)
+        state1 = self.fine_state.replace(
+            batch_stats=widen_gnn_stats(upd["batch_stats"]))
+
+        # 2. Eval-mode pipeline with calibrated object-encoder stats; its
+        # fine bank is chunk-independent by construction.
+        fine_eval = copy.copy(self.fine)
+        fine_eval.model = model.clone(eval_batch_stats=False,
+                                      bn_stat_groups=2)
+        serving = LocalizationPipeline(self.coarse, self.coarse_state,
+                                       fine_eval, state1, self.cfg,
+                                       mesh=self.mesh)
+        fine_bank = serving.precompute_fine_bank(bank, bank_dev)
+
+        # 3. SuperGlue GNN per-set population stats over the calibration
+        # queries (batch-stats model so the calibration branch fires; the
+        # object encoder is not executed by encode_hints/match_encoded).
+        capture = model.clone(bn_stat_groups=2)
+        variables = {"params": state1.params,
+                     "batch_stats": state1.batch_stats}
+        hint_enc = capture.apply(variables, jnp.asarray(hint_tokens),
+                                 jnp.asarray(hint_lengths),
+                                 method=type(capture).encode_hints)
+        K = top_idx.shape[1]
+        flat = jnp.asarray(top_idx).reshape(-1)
+        _, upd = capture.apply(variables, fine_bank[0][flat],
+                               jnp.repeat(hint_enc, K, axis=0), train=False,
+                               mutable=["batch_stats"],
+                               method=type(capture).match_encoded)
+        serving.fine_state = state1.replace(batch_stats=upd["batch_stats"])
+        return serving, fine_bank
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _match_chunk_cached(self, fine_state: TrainState,
                             obj_enc_bank: jnp.ndarray,

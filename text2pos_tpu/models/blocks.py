@@ -39,17 +39,34 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1  # torch convention: new = (1−m)·old + m·batch
     eps: float = 1e-5
     eval_batch_stats: bool = False
+    # Number of per-call-site statistic rows. A weight-shared BN applied to
+    # several distinct input distributions in one trace (the SuperGlue GNN
+    # block normalizes the object set AND the hint set with the same
+    # parameters) needs one row per distribution for eval-mode/calibrated
+    # serving to reproduce batch-stats normalization; callers select the
+    # row with ``stat_group``. The default 1 keeps the flat [F] layout
+    # every trainer and checkpoint uses.
+    stat_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                 train: bool = True) -> jnp.ndarray:
+                 train: bool = True, stat_group: int = 0) -> jnp.ndarray:
         features = x.shape[-1]
+        shape = ((features,) if self.stat_groups == 1
+                 else (self.stat_groups, features))
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
         ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros(features, jnp.float32))
+                                lambda: jnp.zeros(shape, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones(features, jnp.float32))
+                               lambda: jnp.ones(shape, jnp.float32))
+
+        def _read(v):
+            return v.value if self.stat_groups == 1 else v.value[stat_group]
+
+        def _write(v, new):
+            v.value = (new if self.stat_groups == 1
+                       else v.value.at[stat_group].set(new))
 
         if train or self.eval_batch_stats:
             reduce_axes = tuple(range(x.ndim - 1))
@@ -71,11 +88,27 @@ class MaskedBatchNorm(nn.Module):
 
             if train and not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                _write(ra_mean, (1 - self.momentum) * _read(ra_mean)
+                       + self.momentum * mean)
+                _write(ra_var, (1 - self.momentum) * _read(ra_var)
+                       + self.momentum * unbiased)
+            elif (self.eval_batch_stats and not train
+                  and not self.is_initializing()
+                  and self.is_mutable_collection("batch_stats")):
+                # One-shot population calibration: an eval forward with
+                # mutable batch_stats OVERWRITES the running estimates with
+                # this batch's statistics (no momentum blend). Running the
+                # model once over a large calibration batch then serving in
+                # true eval mode reproduces batch-stats normalization while
+                # making each query's result independent of its co-batched
+                # queries. Biased variance on purpose: eval-mode
+                # normalization then matches the batch-stats output on the
+                # calibration population exactly.
+                _write(ra_mean, mean)
+                _write(ra_var, var)
         else:
-            mean = ra_mean.value
-            var = ra_var.value
+            mean = _read(ra_mean)
+            var = _read(ra_var)
 
         inv = jnp.asarray(1.0, jnp.float32) / jnp.sqrt(var + self.eps)
         out = (x.astype(jnp.float32) - mean) * inv * scale + bias
@@ -140,10 +173,11 @@ class SuperGlueMLP(nn.Module):
     do_bn: bool = True
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
+    stat_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                 train: bool = True) -> jnp.ndarray:
+                 train: bool = True, stat_group: int = 0) -> jnp.ndarray:
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
             x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
@@ -152,7 +186,8 @@ class SuperGlueMLP(nn.Module):
                     x = MaskedBatchNorm(
                         name=f"bn_{i}",
                         eval_batch_stats=self.eval_batch_stats,
-                    )(x, mask=mask, train=train)
+                        stat_groups=self.stat_groups,
+                    )(x, mask=mask, train=train, stat_group=stat_group)
                 x = nn.relu(x)
         return x
 

@@ -47,6 +47,11 @@ class SuperGlueMatch(nn.Module):
     # necessary: eval-mode running stats collapse matching recall through
     # the 12-block residual GNN (0.79 → 0.20 measured on held-out scenes).
     eval_batch_stats: bool = True
+    # ≥2: the SuperGlue GNN's weight-shared BNs keep one statistics row per
+    # descriptor set, which lets calibrated eval-mode serving reproduce
+    # batch-stats normalization (pipeline.calibrated_for_serving). Training
+    # keeps 1 (the flat [F] layout of every checkpoint).
+    bn_stat_groups: int = 1
 
     def setup(self):
         self.language_encoder = LanguageEncoder(
@@ -68,6 +73,7 @@ class SuperGlueMatch(nn.Module):
             eval_batch_stats=self.eval_batch_stats,
         )
         self.superglue = SuperGlue(
+            bn_stat_groups=self.bn_stat_groups,
             descriptor_dim=self.embed_dim,
             num_layers=self.num_layers,
             sinkhorn_iterations=self.sinkhorn_iters,

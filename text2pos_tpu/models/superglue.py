@@ -73,10 +73,11 @@ class AttentionalPropagation(nn.Module):
     num_heads: int = 4
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
+    bn_stat_groups: int = 1  # ≥2: per-set BN stats (see blocks.MaskedBatchNorm)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, source: jnp.ndarray,
-                 train: bool = True) -> jnp.ndarray:
+                 train: bool = True, stat_group: int = 0) -> jnp.ndarray:
         message = MultiHeadedAttention(self.num_heads, self.feature_dim,
                                        dtype=self.dtype,
                                        name="attn")(x, source, source)
@@ -84,7 +85,8 @@ class AttentionalPropagation(nn.Module):
         return SuperGlueMLP((self.feature_dim * 2, self.feature_dim),
                             dtype=self.dtype,
                             eval_batch_stats=self.eval_batch_stats,
-                            name="mlp")(h, train=train)
+                            stat_groups=self.bn_stat_groups,
+                            name="mlp")(h, train=train, stat_group=stat_group)
 
 
 class AttentionalGNN(nn.Module):
@@ -98,6 +100,7 @@ class AttentionalGNN(nn.Module):
     layer_names: Tuple[str, ...]
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
+    bn_stat_groups: int = 1
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
@@ -105,13 +108,19 @@ class AttentionalGNN(nn.Module):
         for i, name in enumerate(self.layer_names):
             layer = AttentionalPropagation(self.feature_dim, dtype=self.dtype,
                                            eval_batch_stats=self.eval_batch_stats,
+                                           bn_stat_groups=self.bn_stat_groups,
                                            name=f"layer_{i}")
             if name == "cross":
                 src0, src1 = desc1, desc0
             else:
                 src0, src1 = desc0, desc1
-            delta0 = layer(desc0, src0, train=train)
-            delta1 = layer(desc1, src1, train=train)
+            # The weight-shared block normalizes each descriptor set by its
+            # own BN statistics (reference superglue.py:141-144 calls the
+            # layer once per set): stat_group keeps those statistics
+            # separate when the BN carries per-set rows.
+            delta0 = layer(desc0, src0, train=train, stat_group=0)
+            delta1 = layer(desc1, src1, train=train,
+                           stat_group=min(1, self.bn_stat_groups - 1))
             desc0 = desc0 + delta0.astype(desc0.dtype)
             desc1 = desc1 + delta1.astype(desc1.dtype)
         return desc0, desc1
@@ -127,6 +136,7 @@ class SuperGlue(nn.Module):
     match_threshold: float = 0.2
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
+    bn_stat_groups: int = 1
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
@@ -143,6 +153,7 @@ class SuperGlue(nn.Module):
             desc0, desc1 = AttentionalGNN(self.descriptor_dim, names,
                                           dtype=self.dtype,
                                           eval_batch_stats=self.eval_batch_stats,
+                                          bn_stat_groups=self.bn_stat_groups,
                                           name="gnn")(desc0, desc1, train=train)
 
         final = nn.Dense(self.descriptor_dim, dtype=self.dtype,
