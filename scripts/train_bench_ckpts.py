@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--pointnet_epochs", type=int, default=12)
     ap.add_argument("--pointnet_freeze", action="store_true")
     ap.add_argument("--coarse_gamma", type=float, default=0.9)
+    ap.add_argument("--train_scenes", type=int, default=10)
+    ap.add_argument("--poses_per_cell", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -70,7 +72,8 @@ def main():
     from text2pos_tpu.config import TrainConfig
 
     t0 = time.time()
-    cells_train, poses_train = build_corpus(3, TRAIN_SEEDS, "7")
+    cells_train, poses_train = build_corpus(
+        args.poses_per_cell, list(range(100, 100 + args.train_scenes)), "7")
     cells_val, poses_val = build_corpus(1, [VAL_SEED], "7")
     print(f"corpus: {len(cells_train)} train cells / {len(poses_train)} poses, "
           f"{len(cells_val)} val cells / {len(poses_val)} poses "

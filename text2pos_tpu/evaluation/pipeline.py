@@ -346,7 +346,82 @@ class LocalizationPipeline:
                                mutable=["batch_stats"],
                                method=type(capture).match_encoded)
         serving.fine_state = state1.replace(batch_stats=upd["batch_stats"])
+
+        # Fold the calibrated GNN into the fused Pallas serving kernel's
+        # parameter layout (per-set BN affines baked in). OPT-IN: the
+        # kernel is output-equivalent and runs, but measured 84 ms vs the
+        # XLA graph's 61 ms at serving scale (N=20480) — XLA's fused
+        # broadcast-reduce attention beats the kernel's cross-pair-masked
+        # MXU formulation at these tiny per-pair shapes (T≤16, D=32).
+        # Kept for parity experiments and larger-model regimes.
+        import os
+
+        if (os.environ.get("T2P_FUSED_GNN")
+                and jax.default_backend() == "tpu"
+                and self.fine.cfg.embed_dim % 4 == 0):
+            from text2pos_tpu.ops.superglue_gnn_pallas import fold_gnn_params
+
+            serving._gnn_folded = {
+                k: jnp.asarray(v) for k, v in fold_gnn_params(
+                    jax.device_get(serving.fine_state.params),
+                    jax.device_get(serving.fine_state.batch_stats),
+                    self.fine.cfg.num_layers).items()}
         return serving, fine_bank
+
+    # Set by calibrated_for_serving on TPU: folded GNN parameters for the
+    # fused Pallas serving kernel (None → XLA graph path).
+    _gnn_folded = None
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _match_chunk_fused(self, fine_state: TrainState,
+                           obj_enc_bank: jnp.ndarray,
+                           centers_xy_bank: jnp.ndarray,
+                           top_idx: jnp.ndarray, hint_tokens: jnp.ndarray,
+                           hint_lengths: jnp.ndarray):
+        """Calibrated-serving fine stage with the fused Pallas GNN kernel
+        (ops/superglue_gnn_pallas): one program for all 12 attention blocks
+        + final projection + score matrix, then Sinkhorn and the offsets
+        head. Output-equivalent to _match_chunk_cached on a calibrated
+        pipeline (same math, folded BN affines)."""
+        from text2pos_tpu.ops.sinkhorn import (extract_matches,
+                                               log_optimal_transport)
+        from text2pos_tpu.ops.superglue_gnn_pallas import gnn_scores_pallas
+
+        B, K = top_idx.shape
+        model = self.fine.model
+        variables = {"params": fine_state.params,
+                     "batch_stats": fine_state.batch_stats}
+        hint_enc = model.apply(variables, hint_tokens, hint_lengths,
+                               method=type(model).encode_hints)  # [B, H, E]
+        H = hint_enc.shape[1]
+
+        flat_idx = top_idx.reshape(B * K)
+        obj_enc = obj_enc_bank[flat_idx]                  # [B·K, pad, E]
+        centers_xy = centers_xy_bank[flat_idx]
+        hint_rep = jnp.repeat(hint_enc, K, axis=0)        # [B·K, H, E]
+
+        dt = model.dtype or jnp.float32
+        scores = gnn_scores_pallas(obj_enc, hint_rep, self._gnn_folded,
+                                   self.fine.cfg.num_layers, dtype=dt)
+        bin_score = fine_state.params["superglue"]["bin_score"]
+        Z = log_optimal_transport(scores, bin_score,
+                                  self.fine.cfg.sinkhorn_iters, impl="auto")
+        out = extract_matches(Z, model.match_threshold)
+
+        po = fine_state.params["mlp_offsets"]
+        h = jnp.maximum(hint_enc @ po["dense_0"]["kernel"]
+                        + po["dense_0"]["bias"], 0.0)
+        offsets = h @ po["dense_1"]["kernel"] + po["dense_1"]["bias"]
+
+        pad = obj_enc.shape[1]
+        matches0 = out["matches0"].reshape(B, K, pad)
+        offsets = jnp.broadcast_to(offsets[:, None], (B, K, H, 2))
+        centers_xy = centers_xy.reshape(B, K, pad, 2)
+        pos_mean = get_pos_in_cell(centers_xy, matches0,
+                                   jnp.zeros_like(offsets))
+        pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
+        confidences = jnp.sum(matches0 >= 0, axis=2)
+        return matches0, pos_mean, pos_offsets, confidences
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _match_chunk_cached(self, fine_state: TrainState,
@@ -519,7 +594,9 @@ class LocalizationPipeline:
             tokens, lengths, method=type(self.coarse.model).encode_text)
         _, top_idx = topk_retrieval(text_enc, cell_enc, top_k)
 
-        _, pos_mean, pos_offsets, confidences = self._match_chunk_cached(
+        match = (self._match_chunk_fused if self._gnn_folded is not None
+                 else self._match_chunk_cached)
+        _, pos_mean, pos_offsets, confidences = match(
             fine_state, obj_enc_bank, centers_xy_bank, top_idx,
             hint_tokens, hint_lengths)
         return top_idx, pos_mean, pos_offsets, confidences
