@@ -1,0 +1,101 @@
+"""LocalizationServer: checkpoints + map → world positions in one object.
+
+Covers the production front-end end to end on CPU: random-init
+checkpoints saved in the trainers' format, a small synthetic map, BN
+calibration on fabricated hints, and a localize() call whose outputs are
+geometrically valid (positions inside their retrieved cells).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from text2pos_tpu.config import EvalConfig, TrainConfig
+from text2pos_tpu.data.hints import (Vocabulary, build_vocabulary,
+                                     create_hint_description)
+
+TINY = dict(batch_size=4, embed_dim=16, num_layers=2, sinkhorn_iters=10,
+            pointnet_numpoints=32, coarse_max_objects=16, pad_size=8,
+            num_mentioned=6, max_text_len=48, max_hint_len=12)
+
+
+@pytest.fixture(scope="module")
+def server(synthetic_data, tmp_path_factory):
+    from text2pos_tpu.data.loaders import CoarseLoader, FineLoader
+    from text2pos_tpu.serving import LocalizationServer
+    from text2pos_tpu.train.coarse import CoarseTrainer
+    from text2pos_tpu.train.fine import FineTrainer
+    from text2pos_tpu.train.state import save_checkpoint
+
+    cells, poses = synthetic_data
+    cfg = TrainConfig(**TINY)
+    vocab = Vocabulary(build_vocabulary(
+        [create_hint_description(p) for p in poses]))
+    rng = jax.random.PRNGKey(0)
+
+    loader = CoarseLoader(cells, poses, vocab, cfg.batch_size,
+                          cfg.coarse_max_objects, cfg.pointnet_numpoints,
+                          cfg.max_text_len)
+    coarse_tr = CoarseTrainer(cfg, vocab)
+    cstate = coarse_tr.init_state(next(loader.epoch(seed=0)), rng, 1)
+    floader = FineLoader(cells, poses, vocab, cfg.batch_size, cfg.pad_size,
+                         cfg.num_mentioned, cfg.pointnet_numpoints,
+                         cfg.max_hint_len)
+    fine_tr = FineTrainer(cfg, vocab)
+    fstate = fine_tr.init_state(next(floader.epoch(seed=0)), rng, 1)
+
+    d = tmp_path_factory.mktemp("srv")
+    pc, pf = str(d / "coarse.msgpack"), str(d / "fine.msgpack")
+    save_checkpoint(pc, cstate, extra={
+        "known_words": vocab.known_words, "embed_dim": cfg.embed_dim,
+        "variation": 0, "use_features": list(cfg.use_features)})
+    save_checkpoint(pf, fstate, extra={
+        "known_words": vocab.known_words, "embed_dim": cfg.embed_dim,
+        "num_layers": cfg.num_layers, "sinkhorn_iters": cfg.sinkhorn_iters,
+        "use_features": list(cfg.use_features)})
+
+    ecfg = EvalConfig(top_k=(1, 3), threshs=(5, 10, 15),
+                      pad_size=cfg.pad_size, num_mentioned=cfg.num_mentioned,
+                      max_hint_len=cfg.max_hint_len,
+                      max_text_len=cfg.max_text_len,
+                      coarse_max_objects=cfg.coarse_max_objects,
+                      pointnet_numpoints=cfg.pointnet_numpoints)
+    srv = LocalizationServer(pc, pf, cells, cfg=ecfg, top_k=3, dtype=None)
+    return srv, cells, poses
+
+
+class TestLocalizationServer:
+    def test_localize_shapes_and_geometry(self, server):
+        srv, cells, poses = server
+        queries = [create_hint_description(p) for p in poses[:5]]
+        out = srv.localize(queries)
+
+        Q, K = 5, min(3, srv.bank.num_cells)
+        assert out["positions"].shape == (Q, 3)
+        assert out["top_cells"].shape == (Q, K)
+        assert out["positions_k"].shape == (Q, K, 3)
+        assert out["confidences"].shape == (Q, K)
+        assert len(out["cell_ids"]) == Q
+        assert np.all(np.isfinite(out["positions"]))
+
+        # Every per-retrieval position lies in its cell's bbox, up to the
+        # offset head's reach (offsets are unclipped, like the reference's
+        # regressor — random-init weights can push slightly past the
+        # boundary, so allow one cell_size of margin).
+        lo = srv.bank.bbox_w[out["top_cells"]][..., 0:2]
+        hi = srv.bank.bbox_w[out["top_cells"]][..., 3:5]
+        size = srv.bank.cell_size[out["top_cells"]][..., None]
+        p = out["positions_k"][..., 0:2]
+        assert np.all(p >= lo - size) and np.all(p <= hi + size)
+
+    def test_batch_independence_with_calibration(self, server):
+        """Calibrated serving: the same query localizes identically alone
+        and inside a larger batch."""
+        srv, cells, poses = server
+        queries = [create_hint_description(p) for p in poses[:6]]
+        full = srv.localize(queries)
+        solo = srv.localize(queries[:1])
+        np.testing.assert_allclose(solo["positions"][0],
+                                   full["positions"][0], atol=1e-5)
+        np.testing.assert_array_equal(solo["top_cells"][0],
+                                      full["top_cells"][0])

@@ -1,0 +1,174 @@
+"""Production serving front-end: checkpoints + map → world positions.
+
+The reference has no serving story — its evaluation script
+(/root/reference/evaluation/pipeline.py:282-343) is the closest thing, a
+per-query host loop over torch models. This module packages the rebuilt
+pipeline's serving path behind one object:
+
+    server = LocalizationServer("coarse.msgpack", "fine.msgpack", cells)
+    result = server.localize([["the pose is east of a gray building",
+                               "it is north of a green vegetation"], ...])
+    result["positions"]   # [Q, 3] world coordinates (best cell)
+
+Setup encodes the whole map once (coarse retrieval embeddings + the fine
+stage's query-independent object encodings), calibrates the fine stage's
+BatchNorms on population statistics (true eval mode — each query's result
+is independent of its co-batched queries; see
+``LocalizationPipeline.calibrated_for_serving``), and serving then runs
+text encode → top-k retrieval → fine matching → in-cell positions as ONE
+jitted program per batch (``serve_batch``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2pos_tpu.config import EvalConfig
+
+BANK_KEYS = ("points_xyz", "points_rgb", "point_count", "centers", "colors",
+             "class_idx", "color_idx", "mask")
+
+
+class LocalizationServer:
+    """End-to-end text→position serving against a static cell map."""
+
+    def __init__(self, path_coarse: str, path_fine: str, cells: Sequence,
+                 cfg: Optional[EvalConfig] = None, top_k: int = 10,
+                 dtype: Optional[str] = "bfloat16", calibrate: bool = True,
+                 calibration_hints: Optional[Sequence[Sequence[str]]] = None):
+        """Args:
+            path_coarse/path_fine: msgpack checkpoints (train.coarse /
+                train.fine output, or convert_whole_model output).
+            cells: the map (Cell objects, e.g. from data.prepare or a
+                dataset pickle).
+            top_k: retrieved cells per query.
+            dtype: serving compute dtype for the model bodies.
+            calibrate: freeze fine-stage BN statistics on population data
+                and serve in true eval mode (recommended; False keeps the
+                reference's batch-statistics behaviour).
+            calibration_hints: optional hint lists used to calibrate the
+                GNN statistics; defaults to synthetic descriptions of the
+                map's own cells via their object vocabulary — pass real
+                queries when available for best-matched statistics.
+        """
+        from text2pos_tpu.data.dense import build_cell_bank
+        from text2pos_tpu.evaluation.pipeline import (
+            build_pipeline_from_checkpoints)
+
+        self.cfg = cfg or EvalConfig(top_k=(1, 5, top_k), threshs=(5, 10, 15))
+        self.top_k = top_k
+        pipe, vocab, _ = build_pipeline_from_checkpoints(
+            self.cfg, path_coarse, path_fine, dtype=dtype)
+        self.vocab = vocab
+
+        self.bank = build_cell_bank(list(cells), self.cfg.coarse_max_objects,
+                                    self.cfg.pointnet_numpoints,
+                                    seed=self.cfg.seed)
+        self._bank_dev = {k: jnp.asarray(getattr(self.bank, k))
+                          for k in BANK_KEYS}
+
+        # Offline map encode (coarse retrieval embeddings).
+        self.cell_enc = jnp.asarray(pipe.coarse.encode_all_cells(
+            pipe.coarse_state, self.bank, jax.random.PRNGKey(self.cfg.seed)))
+
+        if calibrate:
+            htk, hln = self._calibration_tokens(calibration_hints)
+            # Calibration retrievals from the model itself over the
+            # calibration hints' joined texts.
+            tk, ln = self.vocab.encode_batch(
+                [" ".join(h) for h in self._cal_hint_lists],
+                self.cfg.max_text_len)
+            enc = self._encode_text(pipe, tk, ln)
+            from text2pos_tpu.ops.retrieval import topk_retrieval
+
+            k = min(top_k, self.bank.num_cells)
+            _, cal_idx = topk_retrieval(enc, self.cell_enc, k)
+            pipe, self.fine_bank = pipe.calibrated_for_serving(
+                self.bank, self._bank_dev, htk, hln, np.asarray(cal_idx))
+        else:
+            self.fine_bank = pipe.precompute_fine_bank(self.bank,
+                                                       self._bank_dev)
+        self.pipe = pipe
+
+    # ------------------------------------------------------------------
+    def _encode_text(self, pipe, tokens, lengths):
+        model = pipe.coarse.model
+        return model.apply(
+            {"params": pipe.coarse_state.params,
+             "batch_stats": pipe.coarse_state.batch_stats},
+            jnp.asarray(tokens), jnp.asarray(lengths),
+            method=type(model).encode_text)
+
+    def _calibration_tokens(self, calibration_hints):
+        """Tokenize calibration hints (or fabricate neutral ones from the
+        map's class/color vocabulary when none are given)."""
+        if calibration_hints is None:
+            from text2pos_tpu.constants import (CLASS_TO_LABEL, COLOR_NAMES,
+                                                DIRECTIONS)
+
+            labels = sorted(CLASS_TO_LABEL)
+            rng = np.random.default_rng(self.cfg.seed)
+            calibration_hints = []
+            for _ in range(min(256, max(self.bank.num_cells, 32))):
+                hints = []
+                for _o in range(self.cfg.num_mentioned):
+                    d = DIRECTIONS[rng.integers(len(DIRECTIONS))]
+                    col = COLOR_NAMES[rng.integers(len(COLOR_NAMES))]
+                    cls = labels[rng.integers(len(labels))]
+                    hints.append(f"The pose is {d} of a {col} {cls}.")
+                calibration_hints.append(hints)
+        self._cal_hint_lists = [list(h)[: self.cfg.num_mentioned]
+                                for h in calibration_hints]
+        return self._hint_tokens(self._cal_hint_lists)
+
+    def _hint_tokens(self, hint_lists: Sequence[Sequence[str]]):
+        Q = len(hint_lists)
+        H, Th = self.cfg.num_mentioned, self.cfg.max_hint_len
+        htk = np.zeros((Q, H, Th), np.int32)
+        hln = np.ones((Q, H), np.int32)
+        for i, hints in enumerate(hint_lists):
+            tk, ln = self.vocab.encode_batch(list(hints)[:H], Th)
+            htk[i, : len(tk)] = tk
+            hln[i, : len(ln)] = ln
+        return htk, hln
+
+    # ------------------------------------------------------------------
+    def localize(self, hint_lists: Sequence[Sequence[str]]) -> Dict:
+        """Localize a batch of queries, each a list of hint sentences.
+
+        Returns dict with
+            positions   [Q, 3]      world position from the best cell
+            cell_ids    [Q]         best retrieved cell id
+            top_cells   [Q, K]      retrieved cell indices
+            positions_k [Q, K, 3]   per-retrieval world positions
+            confidences [Q, K]      matched-object counts
+        """
+        hint_lists = list(hint_lists)
+        texts = [" ".join(h) for h in hint_lists]
+        tk, ln = self.vocab.encode_batch(texts, self.cfg.max_text_len)
+        htk, hln = self._hint_tokens(hint_lists)
+
+        pipe = self.pipe
+        k = min(self.top_k, self.bank.num_cells)
+        top_idx, _, pos_offsets, conf = jax.device_get(pipe.serve_batch(
+            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+            self.cell_enc, k, self.fine_bank[0], self.fine_bank[1]))
+
+        lo = self.bank.bbox_w[top_idx][..., 0:3]          # [Q, K, 3]
+        size = self.bank.cell_size[top_idx][..., None]
+        pos_w = lo.copy()
+        pos_w[..., 0:2] += np.asarray(pos_offsets) * size
+        pos_w[..., 2] += 0.5 * (self.bank.bbox_w[top_idx][..., 5]
+                                - self.bank.bbox_w[top_idx][..., 2])
+        return {
+            "positions": pos_w[:, 0],
+            "cell_ids": [self.bank.cell_ids[i] for i in top_idx[:, 0]],
+            "top_cells": np.asarray(top_idx),
+            "positions_k": pos_w,
+            "confidences": np.asarray(conf),
+        }
