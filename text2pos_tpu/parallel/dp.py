@@ -24,7 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax.shard_map is the stable home since 0.8 (check_rep → check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from text2pos_tpu.train.losses import (
     hardest_ranking_loss,
@@ -214,6 +221,46 @@ def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
         enc = encode(state, stacked, jax.random.fold_in(rng, i))
         out.append(np.asarray(enc)[:real])
     return np.concatenate(out)
+
+
+def dp_serve_batch(pipe, mesh: Mesh, top_k: int):
+    """Shard end-to-end serving over the mesh: queries split across
+    devices, the (small) retrieval DB and fine bank replicated. Serving is
+    embarrassingly parallel — no collectives beyond the output gather.
+
+    Requires a CALIBRATED pipeline (``calibrated_for_serving``): with the
+    reference's batch-statistics BN, each shard would normalize by its own
+    sub-batch and results would depend on the device count. With frozen
+    population statistics the sharded outputs equal the single-device ones
+    exactly (tested on the 8-device virtual mesh).
+
+    Returns ``serve(cstate, fstate, cell_enc, bank0, bank1, tokens,
+    lengths, hint_tokens, hint_lengths) -> (top_idx, pos_mean,
+    pos_offsets, confidences)`` with query-sharded inputs/outputs gathered
+    on the leading axis. The query count must divide by the mesh size.
+    """
+
+    def per_device(cstate, fstate, cell_enc, bank0, bank1,
+                   tokens, lengths, hint_tokens, hint_lengths):
+        return pipe.serve_batch(cstate, fstate, tokens, lengths,
+                                hint_tokens, hint_lengths, cell_enc, top_k,
+                                bank0, bank1)
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def serve(cstate, fstate, cell_enc, bank0, bank1,
+              tokens, lengths, hint_tokens, hint_lengths):
+        return sharded(cstate, fstate, cell_enc, bank0, bank1,
+                       tokens, lengths, hint_tokens, hint_lengths)
+
+    return serve
 
 
 def dp_encode_cells(trainer, mesh: Mesh, cells_per_device: int):
