@@ -61,12 +61,12 @@ def server(synthetic_data, tmp_path_factory):
                       coarse_max_objects=cfg.coarse_max_objects,
                       pointnet_numpoints=cfg.pointnet_numpoints)
     srv = LocalizationServer(pc, pf, cells, cfg=ecfg, top_k=3, dtype=None)
-    return srv, cells, poses
+    return srv, cells, poses, (pc, pf, ecfg)
 
 
 class TestLocalizationServer:
     def test_localize_shapes_and_geometry(self, server):
-        srv, cells, poses = server
+        srv, cells, poses, _ = server
         queries = [create_hint_description(p) for p in poses[:5]]
         out = srv.localize(queries)
 
@@ -91,7 +91,7 @@ class TestLocalizationServer:
     def test_batch_independence_with_calibration(self, server):
         """Calibrated serving: the same query localizes identically alone
         and inside a larger batch."""
-        srv, cells, poses = server
+        srv, cells, poses, _ = server
         queries = [create_hint_description(p) for p in poses[:6]]
         full = srv.localize(queries)
         solo = srv.localize(queries[:1])
@@ -99,3 +99,21 @@ class TestLocalizationServer:
                                    full["positions"][0], atol=1e-5)
         np.testing.assert_array_equal(solo["top_cells"][0],
                                       full["top_cells"][0])
+
+
+class TestDataParallelServer:
+    def test_dp_server_matches_single_device(self, server):
+        """data_parallel=4 serving returns the single-device results,
+        including the pad-to-divisible path (5 queries over 4 shards)."""
+        from text2pos_tpu.serving import LocalizationServer
+
+        srv, cells, poses, (pc, pf, ecfg) = server
+        dsrv = LocalizationServer(pc, pf, cells, cfg=ecfg, top_k=3,
+                                  dtype=None, data_parallel=4)
+        queries = [create_hint_description(p) for p in poses[:5]]
+        single = srv.localize(queries)
+        sharded = dsrv.localize(queries)
+        np.testing.assert_array_equal(sharded["top_cells"],
+                                      single["top_cells"])
+        np.testing.assert_allclose(sharded["positions"],
+                                   single["positions"], atol=1e-5)

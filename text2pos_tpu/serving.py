@@ -39,7 +39,8 @@ class LocalizationServer:
     def __init__(self, path_coarse: str, path_fine: str, cells: Sequence,
                  cfg: Optional[EvalConfig] = None, top_k: int = 10,
                  dtype: Optional[str] = "bfloat16", calibrate: bool = True,
-                 calibration_hints: Optional[Sequence[Sequence[str]]] = None):
+                 calibration_hints: Optional[Sequence[Sequence[str]]] = None,
+                 data_parallel: int = 1):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
@@ -54,6 +55,10 @@ class LocalizationServer:
                 GNN statistics; defaults to synthetic descriptions of the
                 map's own cells via their object vocabulary — pass real
                 queries when available for best-matched statistics.
+            data_parallel: shard each query batch over this many devices
+                (1-D dp mesh; requires ``calibrate`` — batch-statistics
+                serving is not shard-invariant — and query batches
+                divisible by the device count).
         """
         from text2pos_tpu.data.dense import build_cell_bank
         from text2pos_tpu.evaluation.pipeline import (
@@ -93,6 +98,19 @@ class LocalizationServer:
             self.fine_bank = pipe.precompute_fine_bank(self.bank,
                                                        self._bank_dev)
         self.pipe = pipe
+
+        self._dp_serve = None
+        if data_parallel > 1:
+            if not calibrate:
+                raise ValueError("data_parallel serving requires calibrate="
+                                 "True (batch-statistics BN is not "
+                                 "shard-invariant)")
+            from text2pos_tpu.parallel.dp import dp_serve_batch, make_mesh
+
+            self._dp = data_parallel
+            self._dp_serve = dp_serve_batch(
+                pipe, make_mesh(data_parallel),
+                min(top_k, self.bank.num_cells))
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -154,10 +172,24 @@ class LocalizationServer:
 
         pipe = self.pipe
         k = min(self.top_k, self.bank.num_cells)
-        top_idx, _, pos_offsets, conf = jax.device_get(pipe.serve_batch(
-            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
-            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
-            self.cell_enc, k, self.fine_bank[0], self.fine_bank[1]))
+        if self._dp_serve is not None:
+            pad = (-len(hint_lists)) % self._dp
+            if pad:  # sharded inputs must divide the mesh
+                tk = np.concatenate([tk, np.repeat(tk[-1:], pad, 0)])
+                ln = np.concatenate([ln, np.repeat(ln[-1:], pad, 0)])
+                htk = np.concatenate([htk, np.repeat(htk[-1:], pad, 0)])
+                hln = np.concatenate([hln, np.repeat(hln[-1:], pad, 0)])
+            out = self._dp_serve(
+                pipe.coarse_state, pipe.fine_state, self.cell_enc,
+                self.fine_bank[0], self.fine_bank[1], jnp.asarray(tk),
+                jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln))
+            top_idx, _, pos_offsets, conf = [
+                np.asarray(o)[: len(hint_lists)] for o in jax.device_get(out)]
+        else:
+            top_idx, _, pos_offsets, conf = jax.device_get(pipe.serve_batch(
+                pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+                jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+                self.cell_enc, k, self.fine_bank[0], self.fine_bank[1]))
 
         lo = self.bank.bbox_w[top_idx][..., 0:3]          # [Q, K, 3]
         size = self.bank.cell_size[top_idx][..., None]
