@@ -599,7 +599,16 @@ class LocalizationPipeline:
         _, pos_mean, pos_offsets, confidences = match(
             fine_state, obj_enc_bank, centers_xy_bank, top_idx,
             hint_tokens, hint_lengths)
-        return top_idx, pos_mean, pos_offsets, confidences
+        # Compact wire types: the device→host fetch rides a high-latency
+        # link (~17 ms for the f32 results at Q=2048); int16 cell indices,
+        # f16 in-cell positions (resolution 2⁻¹¹ of a cell ≈ 1.5 cm at
+        # 30 m cells) and u8 match counts carry the same information in a
+        # third of the bytes.
+        if cell_enc.shape[0] < 2 ** 15:  # int16-addressable DB
+            top_idx = top_idx.astype(jnp.int16)
+        return (top_idx, pos_mean.astype(jnp.float16),
+                pos_offsets.astype(jnp.float16),
+                confidences.astype(jnp.uint8))
 
     def run_fine_oracle(self, loader, poses, top_idx: np.ndarray,
                         random_oracle: bool = False) -> Dict:
