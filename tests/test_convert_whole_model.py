@@ -300,12 +300,21 @@ class TestFineConversion:
         assert _shapes(variables["batch_stats"]) == _shapes(
             payload["batch_stats"])
 
-        # Spot-checks: Conv1d(k=1) → transposed dense kernel; proj order.
+        # Spot-checks: Conv1d(k=1) → transposed dense kernel with head
+        # channels re-laid-out from the reference's interleaved split to our
+        # contiguous blocks; proj order.
+        from text2pos_tpu.utils.convert_whole_model import _attn_head_perm
+
+        perm = _attn_head_perm(E, 4)
         lyr = model.superglue.gnn.layers[1]
         np.testing.assert_allclose(
             payload["params"]["superglue"]["gnn"]["layer_1"]["attn"]
             ["proj_k"]["kernel"],
-            lyr.attn.proj[1].weight.detach().numpy()[:, :, 0].T)
+            lyr.attn.proj[1].weight.detach().numpy()[:, :, 0].T[:, perm])
+        np.testing.assert_allclose(
+            payload["params"]["superglue"]["gnn"]["layer_1"]["attn"]
+            ["merge"]["kernel"],
+            lyr.attn.merge.weight.detach().numpy()[:, :, 0].T[perm, :])
         np.testing.assert_allclose(
             payload["params"]["mlp_offsets"]["dense_1"]["kernel"],
             model.mlp_offsets[2].weight.detach().numpy().T)
@@ -322,3 +331,153 @@ class TestFineConversion:
             jnp.ones((B, O), jnp.int32), train=False)
         assert np.all(np.isfinite(np.asarray(out_m["P"])))
         assert np.all(np.isfinite(np.asarray(out_m["offsets"])))
+
+
+class TestRestrictedUnpickling:
+    def test_malicious_reduce_is_blocked(self, tmp_path):
+        """A checkpoint whose pickle invokes os.system via __reduce__ must be
+        rejected by the allowlisting Unpickler, not executed."""
+        import pickle
+
+        class Evil:
+            def __reduce__(self):
+                import os
+                return (os.system, ("echo pwned",))
+
+        path = tmp_path / "evil.pth"
+        torch.save({"model": Evil()}, str(path))
+
+        from text2pos_tpu.utils.convert_whole_model import load_whole_model
+
+        with pytest.raises(pickle.UnpicklingError, match="blocked unpickle"):
+            load_whole_model(str(path))
+
+    def test_stub_modules_are_scoped(self, tmp_path):
+        """After load_whole_model returns, no stub package may shadow a later
+        genuine import of e.g. ``models``."""
+        model, registry = make_coarse_model()
+        pth = str(tmp_path / "coarse_scoped.pth")
+        save_under_reference_paths(model, registry, pth)
+
+        from text2pos_tpu.utils.convert_whole_model import (
+            _StubFinder, _StubModule, load_whole_model)
+
+        loaded = load_whole_model(pth)
+        assert type(loaded).__name__ == "CellRetrievalNetwork"
+        leftover = [n for n, m in sys.modules.items()
+                    if isinstance(m, _StubModule)]
+        assert leftover == []
+        assert not any(isinstance(f, _StubFinder) for f in sys.meta_path)
+
+
+class TestAttentionForwardParity:
+    """Converted attention must compute the SAME function as the torch
+    original — not merely land tensors in the right slots.
+
+    The reference splits d_model into heads as ``view(B, dim, heads, N)``
+    (superglue.py:108-112): interleaved channels, head h owns channels
+    c % heads == h. Our flax attention reshapes ``(B, N, heads, dim)``:
+    contiguous blocks. The converter re-lays-out q/k/v output channels and
+    the merge kernel's input rows; this test verifies the composition
+    numerically against a torch forward with the reference's exact
+    semantics.
+    """
+
+    HEADS = 4
+
+    @staticmethod
+    def _torch_attention_forward(proj, merge, x_q, x_kv, heads):
+        """Reference MultiHeadedAttention.forward (superglue.py:103-115):
+        Conv1d projections, view(B, dim, heads, N), scaled-dot attention
+        over the N axis, merge Conv1d. Inputs [B, D, N]."""
+        B, D, _ = x_q.shape
+        dim = D // heads
+        q = proj[0](x_q).view(B, dim, heads, -1)
+        k = proj[1](x_kv).view(B, dim, heads, -1)
+        v = proj[2](x_kv).view(B, dim, heads, -1)
+        scores = torch.einsum("bdhn,bdhm->bhnm", q, k) / dim ** 0.5
+        prob = torch.nn.functional.softmax(scores, dim=-1)
+        out = torch.einsum("bhnm,bdhm->bdhn", prob, v)
+        return merge(out.contiguous().view(B, dim * heads, -1))
+
+    def test_converted_attention_matches_torch(self):
+        torch.manual_seed(7)
+        B, N, M = 2, 5, 7
+        proj = [tnn.Conv1d(E, E, 1) for _ in range(3)]
+        merge = tnn.Conv1d(E, E, 1)
+        x_q = torch.randn(B, E, N)
+        x_kv = torch.randn(B, E, M)
+        with torch.no_grad():
+            ref = self._torch_attention_forward(
+                proj, merge, x_q, x_kv, self.HEADS).numpy()
+
+        from text2pos_tpu.models.superglue import MultiHeadedAttention
+        from text2pos_tpu.utils.convert_whole_model import (
+            _attn_head_perm, _attn_merge, _attn_proj)
+
+        sd = {}
+        for j, p in enumerate(proj):
+            sd[f"a.proj.{j}.weight"] = p.weight.detach().numpy()
+            sd[f"a.proj.{j}.bias"] = p.bias.detach().numpy()
+        sd["a.merge.weight"] = merge.weight.detach().numpy()
+        sd["a.merge.bias"] = merge.bias.detach().numpy()
+
+        perm = _attn_head_perm(E, self.HEADS)
+        params = {"merge": _attn_merge(sd, "a.merge", perm)}
+        for j, name in enumerate(("proj_q", "proj_k", "proj_v")):
+            params[name] = _attn_proj(sd, f"a.proj.{j}", perm)
+
+        model = MultiHeadedAttention(num_heads=self.HEADS, d_model=E)
+        got = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                          jnp.asarray(x_q.numpy().transpose(0, 2, 1)),
+                          jnp.asarray(x_kv.numpy().transpose(0, 2, 1)),
+                          jnp.asarray(x_kv.numpy().transpose(0, 2, 1)))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
+                                   atol=2e-5)
+
+    def test_converted_gnn_block_matches_torch(self):
+        """Full AttentionalPropagation block (attn + residual MLP), eval-mode
+        BN, torch vs converted flax — compounds the per-head partition over
+        the merge + MLP path where a layout mismatch is amplified."""
+        torch.manual_seed(11)
+        B, N, M = 2, 6, 4
+        lyr = AttentionalPropagation().eval()
+        # Give BN non-trivial running stats.
+        lyr.mlp[1].running_mean.normal_(0.0, 0.3)
+        lyr.mlp[1].running_var.uniform_(0.5, 1.5)
+        x = torch.randn(B, E, N)
+        src = torch.randn(B, E, M)
+        with torch.no_grad():
+            msg = self._torch_attention_forward(
+                list(lyr.attn.proj), lyr.attn.merge, x, src, self.HEADS)
+            ref = lyr.mlp(torch.cat([x, msg], dim=1)).numpy()
+
+        from text2pos_tpu.models.superglue import AttentionalPropagation as FlaxAP
+        from text2pos_tpu.utils.convert_whole_model import (
+            _attn_head_perm, _attn_merge, _attn_proj, _bn, _conv1d)
+
+        sd = {f"l.{k}": v.detach().numpy()
+              for k, v in lyr.state_dict().items()}
+        perm = _attn_head_perm(E, self.HEADS)
+        attn_p = {"merge": _attn_merge(sd, "l.attn.merge", perm)}
+        for j, name in enumerate(("proj_q", "proj_k", "proj_v")):
+            attn_p[name] = _attn_proj(sd, f"l.attn.proj.{j}", perm)
+        mlp_p = {"dense_0": _conv1d(sd, "l.mlp.0"),
+                 "dense_1": _conv1d(sd, "l.mlp.3")}
+        bn_p, bn_s = _bn(sd, "l.mlp.1")
+        mlp_p["bn_0"] = bn_p
+
+        # torch .eval() normalizes with running stats; the flax equivalent
+        # is train=False with eval_batch_stats left False.
+        model = FlaxAP(feature_dim=E)
+        variables = {
+            "params": jax.tree.map(jnp.asarray,
+                                   {"attn": attn_p, "mlp": mlp_p}),
+            "batch_stats": jax.tree.map(jnp.asarray, {"mlp": {"bn_0": bn_s}}),
+        }
+        got = model.apply(variables,
+                          jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                          jnp.asarray(src.numpy().transpose(0, 2, 1)),
+                          train=False)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
+                                   atol=2e-5)

@@ -104,10 +104,13 @@ class _StubModule(types.ModuleType):
         return cls
 
 
-def install_stub_modules() -> None:
+def install_stub_modules() -> List[str]:
     """Register stub packages for every missing reference dependency, plus
     lazily-created submodules (``models.superglue`` etc. appear as pickles
-    reference them via ``sys.modules`` lookups by the unpickler)."""
+    reference them via ``sys.modules`` lookups by the unpickler).
+
+    Returns the list of root names actually stubbed (for later cleanup)."""
+    installed: List[str] = []
     for root in _STUB_ROOTS:
         if root in sys.modules:
             continue
@@ -123,12 +126,79 @@ def install_stub_modules() -> None:
         # meta-path finders.
         mod.__path__ = []
         sys.modules[root] = mod
+        installed.append(root)
 
     # The unpickler imports submodules (e.g. models.cell_retrieval) with
     # __import__; make stub roots produce stub submodules on import by
     # pre-registering a meta-path finder.
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _StubFinder())
+    return installed
+
+
+class stubbed_modules:
+    """Context manager scoping the stub machinery to one ``torch.load``.
+
+    On exit every stub root registered on entry — and any stub submodule
+    created under it during unpickling — is removed from ``sys.modules``,
+    and the meta-path finder is uninstalled, so a later genuine import of a
+    package named e.g. ``models`` resolves normally instead of silently
+    hitting a stub attribute-bag."""
+
+    def __enter__(self):
+        self._installed = set(install_stub_modules())
+        return self
+
+    def __exit__(self, *exc):
+        for name in list(sys.modules):
+            if name.split(".")[0] in self._installed and isinstance(
+                    sys.modules.get(name), _StubModule):
+                del sys.modules[name]
+        sys.meta_path[:] = [f for f in sys.meta_path
+                            if not isinstance(f, _StubFinder)]
+        return False
+
+
+# ----------------------------------------------------------------------
+# Restricted unpickling
+# ----------------------------------------------------------------------
+# ``torch.save(model)`` pickles execute arbitrary callables via __reduce__
+# if loaded with a permissive Unpickler. Released checkpoints are untrusted
+# input, so find_class only resolves (a) torch's own rebuild machinery,
+# (b) numpy reconstruction, (c) a small set of harmless builtins/stdlib
+# containers, and (d) the stub roots (which fabricate inert attribute
+# bags). Anything else — os.system, subprocess, eval, getattr… — raises.
+_SAFE_MODULE_ROOTS = ("torch", "numpy", "collections", "argparse")
+_SAFE_BUILTINS = frozenset({
+    "set", "frozenset", "list", "dict", "tuple", "complex", "bytearray",
+    "int", "float", "bool", "str", "bytes", "slice", "range", "object",
+})
+
+
+def _make_restricted_pickle_module():
+    import pickle
+
+    class RestrictedUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            root = module.split(".")[0]
+            if root in ("builtins", "__builtin__"):  # torch emits the
+                # legacy protocol-2 name "__builtin__" for e.g. set
+                if name in _SAFE_BUILTINS:
+                    return super().find_class(module, name)
+                raise pickle.UnpicklingError(
+                    f"blocked unpickle of builtins.{name}")
+            if root in _SAFE_MODULE_ROOTS or root in _STUB_ROOTS:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"blocked unpickle of {module}.{name} — not on the "
+                "checkpoint-conversion allowlist")
+
+    mod = types.ModuleType("t2p_restricted_pickle")
+    mod.Unpickler = RestrictedUnpickler
+    mod.load = lambda f, **kw: RestrictedUnpickler(f, **kw).load()
+    mod.loads = lambda s, **kw: RestrictedUnpickler(
+        __import__("io").BytesIO(s), **kw).load()
+    return mod
 
 
 class _StubFinder:
@@ -163,11 +233,13 @@ class _StubLoader:
 # Unpickle + flatten
 # ----------------------------------------------------------------------
 def load_whole_model(path: str) -> Any:
-    """torch.load a whole-model pickle with stubs installed."""
+    """torch.load a whole-model pickle with scoped stubs and a restricted
+    Unpickler (see `_make_restricted_pickle_module`)."""
     import torch
 
-    install_stub_modules()
-    return torch.load(path, map_location="cpu", weights_only=False)
+    with stubbed_modules():
+        return torch.load(path, map_location="cpu", weights_only=False,
+                          pickle_module=_make_restricted_pickle_module())
 
 
 def _to_numpy(t) -> np.ndarray:
@@ -227,6 +299,37 @@ def _get_mlp(sd, prefix, num_layers) -> Tuple[Dict, Dict]:
         params[f"bn_{i}"] = bn_p
         stats[f"bn_{i}"] = bn_s
     return params, stats
+
+
+def _attn_head_perm(d_model: int, num_heads: int) -> np.ndarray:
+    """Channel permutation mapping the reference's head layout onto ours.
+
+    The reference projects with Conv1d and splits heads as
+    ``view(B, dim, heads, N)`` (superglue.py:108-112): torch output channel
+    ``c`` belongs to head ``c % heads`` at head-dim ``c // heads``
+    (interleaved). Our flax attention reshapes ``[B, N, d_model] →
+    (B, N, heads, dim)``: channel ``c`` belongs to head ``c // dim``
+    (contiguous blocks). perm[h*dim + d] = d*heads + h, so indexing a torch
+    channel axis with ``perm`` re-partitions it into our block layout
+    without changing the attention function.
+    """
+    dim = d_model // num_heads
+    h = np.repeat(np.arange(num_heads), dim)
+    d = np.tile(np.arange(dim), num_heads)
+    return d * num_heads + h
+
+
+def _attn_proj(sd, prefix, perm) -> Dict[str, np.ndarray]:
+    """Conv1d q/k/v projection with output channels re-laid-out per-head."""
+    p = _conv1d(sd, prefix)
+    return {"kernel": p["kernel"][:, perm], "bias": p["bias"][perm]}
+
+
+def _attn_merge(sd, prefix, perm) -> Dict[str, np.ndarray]:
+    """Conv1d merge: its *input* channels are the concatenated heads, so the
+    kernel rows get the same re-layout; output channels are plain d_model."""
+    p = _conv1d(sd, prefix)
+    return {"kernel": p["kernel"][perm, :], "bias": p["bias"]}
 
 
 def _lstm(sd, prefix) -> Dict[str, np.ndarray]:
@@ -361,11 +464,14 @@ def convert_superglue_match(model) -> Dict[str, Any]:
     sg_stats: Dict = {}
     gnn_p: Dict = {}
     gnn_s: Dict = {}
+    embed_dim = int(a.get("embed_dim", getattr(model, "embed_dim", 128)))
+    # Reference AttentionalPropagation hardcodes 4 heads (superglue.py:120).
+    perm = _attn_head_perm(embed_dim, num_heads=4)
     for i in range(2 * num_layers):
         base = f"superglue.gnn.layers.{i}"
-        attn = {"merge": _conv1d(sd, f"{base}.attn.merge")}
+        attn = {"merge": _attn_merge(sd, f"{base}.attn.merge", perm)}
         for j, name in enumerate(("proj_q", "proj_k", "proj_v")):
-            attn[name] = _conv1d(sd, f"{base}.attn.proj.{j}")
+            attn[name] = _attn_proj(sd, f"{base}.attn.proj.{j}", perm)
         # SuperGlue MLP([2E, 2E, E]): Conv1d(0), BN(1), ReLU(2), Conv1d(3)
         # (reference superglue.py:53-64).
         mlp_p = {"dense_0": _conv1d(sd, f"{base}.mlp.0"),
