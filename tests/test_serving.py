@@ -88,6 +88,28 @@ class TestLocalizationServer:
         p = out["positions_k"][..., 0:2]
         assert np.all(p >= lo - size) and np.all(p <= hi + size)
 
+    def test_short_queries_rejected_by_default(self, server):
+        """Fewer hints than num_mentioned must raise, not be silently
+        padded with empty pseudo-hints that skew matching."""
+        srv, cells, poses, _ = server
+        q = create_hint_description(poses[0])[:2]
+        with pytest.raises(ValueError, match="fewer than num_mentioned"):
+            srv.localize([q])
+
+    def test_short_queries_pad_by_repetition(self, server):
+        """pad_short_queries=True pads with the query's OWN hints: the
+        result equals localizing the manually-repeated hint list."""
+        srv, cells, poses, _ = server
+        H = srv.cfg.num_mentioned
+        q = create_hint_description(poses[0])[:2]
+        manual = (q * (H // len(q) + 1))[:H]
+        padded = srv.localize([q], pad_short_queries=True)
+        explicit = srv.localize([manual])
+        np.testing.assert_array_equal(padded["top_cells"],
+                                      explicit["top_cells"])
+        np.testing.assert_allclose(padded["positions"],
+                                   explicit["positions"], atol=1e-6)
+
     def test_batch_independence_with_calibration(self, server):
         """Calibrated serving: the same query localizes identically alone
         and inside a larger batch."""

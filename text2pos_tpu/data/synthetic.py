@@ -123,17 +123,23 @@ def make_synthetic_dataset(
     )
 
     # Spatial prefilter: create_cell scans every candidate object's points,
-    # which is quadratic in scene size. An object whose center is ≥ one
-    # cell_size outside a cell's bbox cannot reach the ≥1/3-points-inside
-    # keep criterion (blob spreads are ≤ ~6 m), so only near objects are
-    # passed. Cuts generation from O(cells·all_objects) to O(cells·local).
+    # which is quadratic in scene size. An object whose center is farther
+    # than `margin` outside a cell's bbox cannot reach the
+    # ≥1/3-points-inside keep criterion, so only near objects are passed.
+    # Cuts generation from O(cells·all_objects) to O(cells·local). The
+    # margin is derived from the largest class blob spread (4σ covers
+    # >99.99% of a Gaussian blob's points) rather than hard-coding one
+    # cell_size, so the "identical output" invariant holds for nondefault
+    # small cell sizes too.
     obj_centers = np.array([o.get_center()[0:2] for o in scene_objects])
+    max_xy_spread = max(p[0] for p in _CLASS_PROFILES.values())
+    margin = max(cell_size, 4.0 * max_xy_spread)
 
     def near_objects(bbox):
-        m = ((obj_centers[:, 0] >= bbox[0] - cell_size)
-             & (obj_centers[:, 0] <= bbox[3] + cell_size)
-             & (obj_centers[:, 1] >= bbox[1] - cell_size)
-             & (obj_centers[:, 1] <= bbox[4] + cell_size))
+        m = ((obj_centers[:, 0] >= bbox[0] - margin)
+             & (obj_centers[:, 0] <= bbox[3] + margin)
+             & (obj_centers[:, 1] >= bbox[1] - margin)
+             & (obj_centers[:, 1] <= bbox[4] + margin))
         return [scene_objects[i] for i in np.flatnonzero(m)]
 
     # Database cells on a grid.

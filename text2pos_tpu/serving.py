@@ -141,22 +141,54 @@ class LocalizationServer:
                 calibration_hints.append(hints)
         self._cal_hint_lists = [list(h)[: self.cfg.num_mentioned]
                                 for h in calibration_hints]
-        return self._hint_tokens(self._cal_hint_lists)
+        # Calibration only gathers BN statistics; repeating short hint
+        # lists is always acceptable there.
+        return self._hint_tokens(self._cal_hint_lists, pad_short=True)
 
-    def _hint_tokens(self, hint_lists: Sequence[Sequence[str]]):
+    def _hint_tokens(self, hint_lists: Sequence[Sequence[str]],
+                     pad_short: bool = False):
+        """Tokenize per-query hint lists to the static [Q, H, T] layout.
+
+        The matcher has no hint-validity mask — all H slots participate in
+        GNN matching, Sinkhorn and the offsets head — so a query with fewer
+        than ``num_mentioned`` hints must never be padded with empty
+        pseudo-hints (they would skew its matches). Short queries either
+        raise (default) or, with ``pad_short``, are padded by cyclically
+        repeating their own real hints, which only restates landmarks the
+        query already mentions.
+        """
         Q = len(hint_lists)
         H, Th = self.cfg.num_mentioned, self.cfg.max_hint_len
         htk = np.zeros((Q, H, Th), np.int32)
         hln = np.ones((Q, H), np.int32)
+        short = [i for i, h in enumerate(hint_lists) if len(list(h)) < H]
+        if short and not pad_short:
+            raise ValueError(
+                f"queries {short[:8]}{'…' if len(short) > 8 else ''} have "
+                f"fewer than num_mentioned={H} hints; the matcher expects "
+                f"exactly {H} hints per query. Pass pad_short_queries=True "
+                "to pad by repeating each query's own hints.")
         for i, hints in enumerate(hint_lists):
-            tk, ln = self.vocab.encode_batch(list(hints)[:H], Th)
+            hints = list(hints)[:H]
+            if not hints:
+                raise ValueError(f"query {i} has no hints")
+            if len(hints) < H:
+                hints = (hints * (H // len(hints) + 1))[:H]
+            tk, ln = self.vocab.encode_batch(hints, Th)
             htk[i, : len(tk)] = tk
             hln[i, : len(ln)] = ln
         return htk, hln
 
     # ------------------------------------------------------------------
-    def localize(self, hint_lists: Sequence[Sequence[str]]) -> Dict:
+    def localize(self, hint_lists: Sequence[Sequence[str]],
+                 pad_short_queries: bool = False) -> Dict:
         """Localize a batch of queries, each a list of hint sentences.
+
+        Queries must carry exactly ``cfg.num_mentioned`` hints (extra hints
+        are truncated). Shorter queries raise unless ``pad_short_queries``
+        is set, in which case each is padded by cyclically repeating its
+        own hints — never by empty pseudo-hints, which would participate in
+        matching and skew results.
 
         Returns dict with
             positions   [Q, 3]      world position from the best cell
@@ -168,7 +200,7 @@ class LocalizationServer:
         hint_lists = list(hint_lists)
         texts = [" ".join(h) for h in hint_lists]
         tk, ln = self.vocab.encode_batch(texts, self.cfg.max_text_len)
-        htk, hln = self._hint_tokens(hint_lists)
+        htk, hln = self._hint_tokens(hint_lists, pad_short=pad_short_queries)
 
         pipe = self.pipe
         k = min(self.top_k, self.bank.num_cells)
