@@ -116,3 +116,78 @@ class TestFusedFine:
             losses.append(loss)
         assert all(np.isfinite(losses))
         assert losses[-1] < 0.8 * losses[0], losses
+
+
+class TestNegBank:
+    """Global-negative memory bank (config.neg_bank)."""
+
+    def _trainers(self, synthetic_data):
+        cells, poses = synthetic_data
+        vocab = Vocabulary(build_vocabulary(
+            [create_hint_description(p) for p in poses]))
+        base = FusedCoarseTrainer(TrainConfig(**TINY), vocab, cells, poses)
+        nb = FusedCoarseTrainer(
+            TrainConfig(neg_bank=True, neg_bank_hardest=4,
+                        neg_bank_warmup=0, **TINY), vocab, cells, poses)
+        return base, nb, vocab
+
+    def test_inactive_bank_matches_baseline_bitwise(self, synthetic_data):
+        """With neg_weight = 0 (warmup) the fused step must equal the
+        plain fused step exactly — the bank term is purely additive."""
+        base, nb, _ = self._trainers(synthetic_data)
+        rng = jax.random.PRNGKey(0)
+        from text2pos_tpu.data.loaders import CoarseLoader
+
+        cells, poses = synthetic_data
+        host = CoarseLoader(cells, poses, base.vocab, base.cfg.batch_size,
+                            base.cfg.coarse_max_objects,
+                            base.cfg.pointnet_numpoints,
+                            base.cfg.max_text_len)
+        batch = next(host.epoch(seed=0))
+        s0 = base.init_state(batch, rng, 1)
+        s1 = nb.init_state(batch, rng, 1)
+        idx = jnp.arange(base.cfg.batch_size, dtype=jnp.int32)
+        step_rng = jax.random.fold_in(rng, 3)
+        _, loss0 = base.fused_train_step(s0, idx, step_rng)
+        _, loss1 = nb.fused_train_step(s1, idx, step_rng)
+        assert float(loss0) == float(loss1)
+
+    def test_refresh_matches_eval_encodings(self, synthetic_data):
+        """Bank embeddings must equal the eval-path cell embeddings."""
+        _, nb, _ = self._trainers(synthetic_data)
+        cells, poses = synthetic_data
+        from text2pos_tpu.data.loaders import CoarseLoader
+
+        host = CoarseLoader(cells, poses, nb.vocab, nb.cfg.batch_size,
+                            nb.cfg.coarse_max_objects,
+                            nb.cfg.pointnet_numpoints, nb.cfg.max_text_len)
+        state = nb.init_state(next(host.epoch(seed=0)), jax.random.PRNGKey(0), 1)
+        nb.refresh_neg_bank(state)
+        bank = np.asarray(nb.dev["neg_bank"])
+        assert bank.shape == (nb.bank.num_cells, nb.cfg.embed_dim)
+        np.testing.assert_allclose(np.linalg.norm(bank, axis=1), 1.0,
+                                   atol=1e-4)
+        # Cross-check a chunk against the direct core call.
+        idx = jnp.arange(nb.cfg.batch_size, dtype=jnp.int32)
+        direct = np.asarray(jax.jit(
+            lambda s, d, i: nb._encode_cells_core(s, d, i),
+        )(state, nb.dev, idx))
+        np.testing.assert_allclose(bank[: nb.cfg.batch_size], direct,
+                                   atol=1e-5)
+
+    def test_active_bank_epoch_finite_and_learns(self, synthetic_data):
+        _, nb, _ = self._trainers(synthetic_data)
+        cells, poses = synthetic_data
+        from text2pos_tpu.data.loaders import CoarseLoader
+
+        host = CoarseLoader(cells, poses, nb.vocab, nb.cfg.batch_size,
+                            nb.cfg.coarse_max_objects,
+                            nb.cfg.pointnet_numpoints, nb.cfg.max_text_len)
+        state = nb.init_state(next(host.epoch(seed=0)), jax.random.PRNGKey(0), 1)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for epoch in range(1, 4):
+            state, loss = nb.fused_train_epoch(state, epoch, rng)
+            losses.append(loss)
+        assert all(np.isfinite(losses)), losses
+        assert float(np.asarray(nb.dev["neg_weight"])) == nb.cfg.neg_bank_weight

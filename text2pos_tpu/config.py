@@ -84,6 +84,16 @@ class TrainConfig:
     remat: bool = False               # jax.checkpoint the object encoders
     fused: bool = False               # device-resident fused training epochs
     global_negatives: bool = False    # all-gather embeddings for the ranking loss
+    # Global-negative memory bank (fused coarse training only): a device-
+    # resident table of ALL train-cell embeddings, refreshed once per epoch
+    # with the current parameters, scored against every anchor in one MXU
+    # matmul. Trains retrieval against the full database instead of the 63
+    # in-batch negatives — the serving task is top-k over thousands of cells.
+    neg_bank: bool = False
+    neg_bank_hardest: int = 8         # hardest bank negatives per anchor
+    neg_bank_weight: float = 1.0      # weight of the bank term in the loss
+    neg_bank_warmup: int = 2          # epochs before the bank term turns on
+    eval_every: int = 1               # run the retrieval eval every N epochs
 
     def __post_init__(self):
         self.use_features = tuple(self.use_features)

@@ -332,10 +332,13 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
                                          epoch, rng, cfg.data_parallel)
         else:
             state, loss = trainer.train_epoch(state, loader_train, epoch, rng)
+        history["train_loss"].append(loss)
+        if epoch % cfg.eval_every and epoch != cfg.epochs:
+            log(f"epoch {epoch} loss {loss:0.3f} ({time.time()-t0:0.1f}s)")
+            continue
         train_acc, _, _ = trainer.eval_epoch(state, loader_train, cfg.top_k)
         val_acc, val_acc_close, _ = trainer.eval_epoch(state, loader_val, cfg.top_k)
 
-        history["train_loss"].append(loss)
         history["train_acc"].append(train_acc)
         history["val_acc"].append(val_acc)
         history["val_acc_close"].append(val_acc_close)

@@ -94,6 +94,28 @@ class FusedCoarseTrainer(CoarseTrainer):
             "swap_v": jnp.asarray(build_token_swap(vocab, -1)),
         }
 
+        if cfg.neg_bank:
+            # Global-negative memory bank: embeddings of every train cell,
+            # refreshed once per epoch (refresh_neg_bank). Anchors are scored
+            # against the whole table each step; negatives that could also
+            # describe the pose (same scene, pose within ~a cell size of the
+            # cell center — the sample_close_cell neighborhood) are masked.
+            scene_ids = {s: i for i, s in
+                         enumerate(dict.fromkeys(b.scene_names))}
+            cell_scene = np.array([scene_ids[s] for s in b.scene_names],
+                                  np.int32)
+            centers_w = 0.5 * (b.bbox_w[:, 0:2] + b.bbox_w[:, 3:5])
+            pose_w = np.array([p.pose_w[:2] for p in poses], np.float32)
+            self.dev.update({
+                "neg_bank": jnp.zeros((b.num_cells, cfg.embed_dim),
+                                      jnp.float32),
+                "neg_weight": jnp.asarray(0.0, jnp.float32),
+                "cell_scene": jnp.asarray(cell_scene),
+                "cell_center_w": jnp.asarray(centers_w.astype(np.float32)),
+                "cell_size_w": jnp.asarray(b.cell_size.astype(np.float32)),
+                "pose_w": jnp.asarray(pose_w),
+            })
+
     # ------------------------------------------------------------------
     def _assemble_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                        flip_h: jnp.ndarray, flip_v: jnp.ndarray,
@@ -200,11 +222,93 @@ class FusedCoarseTrainer(CoarseTrainer):
                     text, cells, jnp.roll(cells, 1, axis=0), cfg.margin)
             else:
                 loss = pairwise_ranking_loss(text, cells, cfg.margin)
+            if cfg.neg_bank:
+                loss = loss + dev["neg_weight"] * self._neg_bank_loss(
+                    dev, pose_idx, cell_idx, text, cells)
             return loss, updates["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         return state.apply_gradients(grads, new_bs), loss
+
+    # ------------------------------------------------------------------
+    # Global-negative memory bank
+    # ------------------------------------------------------------------
+    def _neg_bank_loss(self, dev: Dict, pose_idx: jnp.ndarray,
+                       cell_idx: jnp.ndarray, text: jnp.ndarray,
+                       cells: jnp.ndarray) -> jnp.ndarray:
+        """Hinge against the hardest-M cells of the WHOLE train database.
+
+        ``text``/``cells`` are the model's L2-normalized embeddings; the
+        bank holds last-refresh embeddings of every train cell (stale by at
+        most one epoch, the standard memory-bank approximation). One
+        [B, E] × [E, C] MXU matmul scores each anchor against all C cells;
+        cells that could legitimately describe the pose (its own cell, or a
+        same-scene cell whose center is within one cell size of the pose)
+        are masked out before the top-k.
+        """
+        cfg = self.cfg
+        s_pos = jnp.sum(text * cells, axis=-1)                        # [B]
+        scores = text @ dev["neg_bank"].T                             # [B, C]
+
+        pw = dev["pose_w"][pose_idx]                                  # [B, 2]
+        d = jnp.linalg.norm(
+            dev["cell_center_w"][None, :, :] - pw[:, None, :], axis=-1)
+        same_scene = (dev["cell_scene"][None, :]
+                      == dev["cell_scene"][cell_idx][:, None])
+        close = d <= dev["cell_size_w"][None, :]
+        own = (jnp.arange(scores.shape[1])[None, :] == cell_idx[:, None])
+        invalid = own | (same_scene & close)
+        scores = jnp.where(invalid, -jnp.inf, scores)
+
+        hard = jax.lax.top_k(scores, cfg.neg_bank_hardest)[0]         # [B, M]
+        return jnp.mean(
+            jnp.maximum(0.0, cfg.margin - s_pos[:, None] + hard))
+
+    def _encode_cells_core(self, state: TrainState, dev: Dict,
+                           idx: jnp.ndarray) -> jnp.ndarray:
+        """Eval-mode cell embeddings for bank cells ``idx`` ([B] → [B, E])."""
+        cfg = self.cfg
+        B = idx.shape[0]
+        O = cfg.coarse_max_objects
+        pts, cols = prepare_object_points(
+            dev["points_xyz"][idx], dev["points_rgb"][idx],
+            dev["point_count"][idx], cfg.pointnet_numpoints,
+            jax.random.PRNGKey(0), augment=False,
+            no_pc_augment=cfg.no_pc_augment)
+        F = B * O
+        P = pts.shape[2]
+        cell_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), O)
+        slot_ids = jnp.tile(jnp.arange(O, dtype=jnp.int32), B)
+        return self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pts.reshape(F, P, 3), cols.reshape(F, P, 3),
+            dev["centers"][idx].reshape(F, 3),
+            dev["colors"][idx].reshape(F, 3),
+            dev["class_idx"][idx].reshape(F),
+            dev["color_idx"][idx].reshape(F),
+            dev["mask"][idx].reshape(F), cell_ids, slot_ids, B, O,
+            train=False, method=type(self.model).encode_objects)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_bank_scan(self, state: TrainState, dev: Dict,
+                          idx_chunks: jnp.ndarray) -> jnp.ndarray:
+        """All bank-cell embeddings as ONE program: scan over [n, B] chunks."""
+        def body(carry, idx):
+            return carry, self._encode_cells_core(state, dev, idx)
+
+        _, embs = jax.lax.scan(body, 0, idx_chunks)
+        return embs                                       # [n, B, E]
+
+    def refresh_neg_bank(self, state: TrainState) -> None:
+        """Re-embed every train cell with the current parameters."""
+        C = self.bank.num_cells
+        B = self.cfg.batch_size
+        n = -(-C // B)
+        idx = np.arange(n * B) % C
+        embs = self._encode_bank_scan(
+            state, self.dev, jnp.asarray(idx.reshape(n, B), jnp.int32))
+        self.dev["neg_bank"] = embs.reshape(n * B, -1)[:C].astype(jnp.float32)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fused_epoch(self, state: TrainState, dev: Dict,
@@ -233,6 +337,12 @@ class FusedCoarseTrainer(CoarseTrainer):
         steps = self.num_poses // B
         if steps == 0:
             return state, float("nan")
+        if self.cfg.neg_bank and epoch > self.cfg.neg_bank_warmup:
+            # Bank term active this epoch: re-embed the database with the
+            # parameters as of the previous epoch's end.
+            self.refresh_neg_bank(state)
+            self.dev["neg_weight"] = jnp.asarray(
+                self.cfg.neg_bank_weight, jnp.float32)
         order = np.random.default_rng(self.cfg.seed * 10_000 + epoch).permutation(
             self.num_poses)
         epoch_idx = jnp.asarray(
