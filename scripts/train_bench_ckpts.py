@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--coarse_gamma", type=float, default=0.9)
     ap.add_argument("--train_scenes", type=int, default=10)
     ap.add_argument("--poses_per_cell", type=int, default=3)
+    ap.add_argument("--neg_bank", action="store_true",
+                    help="global-negative memory bank for the coarse stage")
+    ap.add_argument("--neg_bank_weight", type=float, default=1.0)
+    ap.add_argument("--neg_bank_hardest", type=int, default=8)
+    ap.add_argument("--eval_every", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -110,7 +115,10 @@ def main():
             batch_size=64, embed_dim=256, learning_rate=args.coarse_lr,
             lr_gamma=args.coarse_gamma, epochs=args.epochs, fused=True,
             coarse_max_objects=24, pointnet_numpoints=256,
-            pad_size=16, num_mentioned=6, **pn_kwargs)
+            pad_size=16, num_mentioned=6, neg_bank=args.neg_bank,
+            neg_bank_weight=args.neg_bank_weight,
+            neg_bank_hardest=args.neg_bank_hardest,
+            eval_every=args.eval_every, **pn_kwargs)
         t0 = time.time()
         state, res = coarse.train(ccfg, cells_train, poses_train,
                                   cells_val, poses_val,

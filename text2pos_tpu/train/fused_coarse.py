@@ -262,8 +262,12 @@ class FusedCoarseTrainer(CoarseTrainer):
         scores = jnp.where(invalid, -jnp.inf, scores)
 
         hard = jax.lax.top_k(scores, cfg.neg_bank_hardest)[0]         # [B, M]
-        return jnp.mean(
-            jnp.maximum(0.0, cfg.margin - s_pos[:, None] + hard))
+        # Sum over the M hardest per anchor, mean over anchors — the same
+        # scale convention as pairwise_ranking_loss (sum of hinges / B), so
+        # neg_bank_weight=1 makes one bank negative count like one in-batch
+        # negative rather than 1/M of one.
+        return jnp.mean(jnp.sum(
+            jnp.maximum(0.0, cfg.margin - s_pos[:, None] + hard), axis=1))
 
     def _encode_cells_core(self, state: TrainState, dev: Dict,
                            idx: jnp.ndarray) -> jnp.ndarray:
