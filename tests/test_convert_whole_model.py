@@ -481,3 +481,67 @@ class TestAttentionForwardParity:
                           train=False)
         np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
                                    atol=2e-5)
+
+
+class TestConvertedFullSuperGlueParity:
+    """Strongest checkpoint-fidelity evidence: a whole-model pickle with
+    non-trivial BN running statistics, loaded through the stub machinery
+    and converted, must make our SuperGlue (all GNN blocks + final
+    projection + Sinkhorn) compute the SAME transport matrix as the torch
+    original run in eval mode — the per-block parity tests compose."""
+
+    def test_converted_superglue_log_transport_matches_torch(self, tmp_path):
+        torch.manual_seed(23)
+        model, registry = make_fine_model()
+        for lyr in model.superglue.gnn.layers:
+            bn = lyr.mlp[1]
+            bn.running_mean.normal_(0.0, 0.3)
+            bn.running_var.uniform_(0.5, 1.5)
+            bn.weight.data.uniform_(0.7, 1.3)
+            bn.bias.data.normal_(0.0, 0.2)
+        model.eval()
+
+        B, M, N = 2, 5, 3
+        rng = np.random.default_rng(3)
+        d0 = rng.normal(size=(B, M, E)).astype(np.float32)
+        d1 = rng.normal(size=(B, N, E)).astype(np.float32)
+
+        # Torch reference forward (reference superglue.py:130-146,239-266):
+        # alternating self/cross blocks applied to both sets with shared
+        # weights, then final_proj + scaled scores + log-OT.
+        tfwd = TestAttentionForwardParity._torch_attention_forward
+        x0 = torch.from_numpy(d0).permute(0, 2, 1)   # [B, E, M]
+        x1 = torch.from_numpy(d1).permute(0, 2, 1)
+        with torch.no_grad():
+            for i, lyr in enumerate(model.superglue.gnn.layers):
+                cross = (i % 2) == 1
+                src0, src1 = (x1, x0) if cross else (x0, x1)
+                m0 = tfwd(list(lyr.attn.proj), lyr.attn.merge, x0, src0, 4)
+                m1 = tfwd(list(lyr.attn.proj), lyr.attn.merge, x1, src1, 4)
+                x0 = x0 + lyr.mlp(torch.cat([x0, m0], dim=1))
+                x1 = x1 + lyr.mlp(torch.cat([x1, m1], dim=1))
+            md0 = model.superglue.final_proj(x0).permute(0, 2, 1)
+            md1 = model.superglue.final_proj(x1).permute(0, 2, 1)
+            scores = torch.einsum("bmd,bnd->bmn", md0, md1) / E ** 0.5
+            from test_superglue_torch_parity import torch_log_optimal_transport
+
+            want = torch_log_optimal_transport(
+                scores, model.superglue.bin_score, 5).numpy()
+
+        pth = str(tmp_path / "fine_whole.pth")
+        out = str(tmp_path / "fine_native.msgpack")
+        save_under_reference_paths(model, registry, pth)
+
+        from text2pos_tpu.models.superglue import SuperGlue as FlaxSuperGlue
+        from text2pos_tpu.utils.convert_whole_model import convert_checkpoint
+
+        payload = convert_checkpoint(pth, out)
+        # eval_batch_stats=False + train=False ≡ torch .eval(): normalize
+        # with the converted running statistics (models/blocks.py:26-41).
+        flax_model = FlaxSuperGlue(descriptor_dim=E, num_layers=NUM_LAYERS,
+                                   sinkhorn_iterations=5)
+        got = flax_model.apply(
+            {"params": payload["params"]["superglue"],
+             "batch_stats": payload["batch_stats"]["superglue"]},
+            jnp.asarray(d0), jnp.asarray(d1), train=False)
+        np.testing.assert_allclose(np.asarray(got["log_P"]), want, atol=3e-4)
