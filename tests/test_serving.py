@@ -139,3 +139,28 @@ class TestDataParallelServer:
                                       single["top_cells"])
         np.testing.assert_allclose(sharded["positions"],
                                    single["positions"], atol=1e-5)
+
+
+class TestLocalizeStream:
+    def test_stream_matches_per_batch_localize(self, server):
+        """Pipelined streaming must produce exactly the per-batch results,
+        in order (dispatch overlap must not change any output)."""
+        srv, cells, poses, _ = server
+        batches = [
+            [create_hint_description(p) for p in poses[i : i + 3]]
+            for i in (0, 3, 6)
+        ]
+        streamed = list(srv.localize_stream(batches))
+        assert len(streamed) == len(batches)
+        for got, batch in zip(streamed, batches):
+            want = srv.localize(batch)
+            np.testing.assert_array_equal(got["top_cells"],
+                                          want["top_cells"])
+            np.testing.assert_allclose(got["positions"], want["positions"])
+            np.testing.assert_array_equal(got["confidences"],
+                                          want["confidences"])
+            assert got["cell_ids"] == want["cell_ids"]
+
+    def test_stream_empty_iterable(self, server):
+        srv, *_ = server
+        assert list(srv.localize_stream([])) == []

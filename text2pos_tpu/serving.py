@@ -180,6 +180,36 @@ class LocalizationServer:
         return htk, hln
 
     # ------------------------------------------------------------------
+    def _prepare(self, hint_lists: Sequence[Sequence[str]],
+                 pad_short_queries: bool):
+        """Tokenize a query batch to static device-ready arrays."""
+        hint_lists = list(hint_lists)
+        texts = [" ".join(h) for h in hint_lists]
+        tk, ln = self.vocab.encode_batch(texts, self.cfg.max_text_len)
+        htk, hln = self._hint_tokens(hint_lists, pad_short=pad_short_queries)
+        if self._dp_serve is not None:
+            pad = (-len(hint_lists)) % self._dp
+            if pad:  # sharded inputs must divide the mesh
+                tk = np.concatenate([tk, np.repeat(tk[-1:], pad, 0)])
+                ln = np.concatenate([ln, np.repeat(ln[-1:], pad, 0)])
+                htk = np.concatenate([htk, np.repeat(htk[-1:], pad, 0)])
+                hln = np.concatenate([hln, np.repeat(hln[-1:], pad, 0)])
+        return (tk, ln, htk, hln), len(hint_lists)
+
+    def _dispatch(self, tk, ln, htk, hln):
+        """Enqueue one serving program; returns unfetched device arrays."""
+        pipe = self.pipe
+        if self._dp_serve is not None:
+            return self._dp_serve(
+                pipe.coarse_state, pipe.fine_state, self.cell_enc,
+                self.fine_bank[0], self.fine_bank[1], jnp.asarray(tk),
+                jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln))
+        k = min(self.top_k, self.bank.num_cells)
+        return pipe.serve_batch(
+            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+            self.cell_enc, k, self.fine_bank[0], self.fine_bank[1])
+
     def localize(self, hint_lists: Sequence[Sequence[str]],
                  pad_short_queries: bool = False) -> Dict:
         """Localize a batch of queries, each a list of hint sentences.
@@ -197,31 +227,34 @@ class LocalizationServer:
             positions_k [Q, K, 3]   per-retrieval world positions
             confidences [Q, K]      matched-object counts
         """
-        hint_lists = list(hint_lists)
-        texts = [" ".join(h) for h in hint_lists]
-        tk, ln = self.vocab.encode_batch(texts, self.cfg.max_text_len)
-        htk, hln = self._hint_tokens(hint_lists, pad_short=pad_short_queries)
+        args, Q = self._prepare(hint_lists, pad_short_queries)
+        return self._finalize(jax.device_get(self._dispatch(*args)), Q)
 
-        pipe = self.pipe
-        k = min(self.top_k, self.bank.num_cells)
-        if self._dp_serve is not None:
-            pad = (-len(hint_lists)) % self._dp
-            if pad:  # sharded inputs must divide the mesh
-                tk = np.concatenate([tk, np.repeat(tk[-1:], pad, 0)])
-                ln = np.concatenate([ln, np.repeat(ln[-1:], pad, 0)])
-                htk = np.concatenate([htk, np.repeat(htk[-1:], pad, 0)])
-                hln = np.concatenate([hln, np.repeat(hln[-1:], pad, 0)])
-            out = self._dp_serve(
-                pipe.coarse_state, pipe.fine_state, self.cell_enc,
-                self.fine_bank[0], self.fine_bank[1], jnp.asarray(tk),
-                jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln))
-            top_idx, _, pos_offsets, conf = [
-                np.asarray(o)[: len(hint_lists)] for o in jax.device_get(out)]
-        else:
-            top_idx, _, pos_offsets, conf = jax.device_get(pipe.serve_batch(
-                pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
-                jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
-                self.cell_enc, k, self.fine_bank[0], self.fine_bank[1]))
+    def localize_stream(self, batches, pad_short_queries: bool = False):
+        """Pipelined serving over an iterable of query batches.
+
+        Batch i+1 is tokenized and dispatched BEFORE batch i's results are
+        fetched, so the device computes the next batch while the previous
+        results ride the D2H transfer (jax async dispatch) — on
+        remote-attached TPUs the fetch is a meaningful fraction of batch
+        latency. Yields one ``localize``-shaped dict per input batch, in
+        order. Keep batch sizes uniform: each distinct batch shape
+        compiles its own serving program.
+        """
+        pending = None                       # (device arrays, real Q)
+        for hint_lists in batches:
+            args, Q = self._prepare(hint_lists, pad_short_queries)
+            out = self._dispatch(*args)
+            if pending is not None:
+                yield self._finalize(jax.device_get(pending[0]), pending[1])
+            pending = (out, Q)
+        if pending is not None:
+            yield self._finalize(jax.device_get(pending[0]), pending[1])
+
+    def _finalize(self, fetched, num_queries: int) -> Dict:
+        """Host-side decode of one fetched serving batch."""
+        top_idx, _, pos_offsets, conf = [
+            np.asarray(o)[:num_queries] for o in fetched]
 
         lo = self.bank.bbox_w[top_idx][..., 0:3]          # [Q, K, 3]
         size = self.bank.cell_size[top_idx][..., None]
