@@ -29,6 +29,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_compiled_executables():
+    """Drop jit caches between test modules.
+
+    The suite compiles hundreds of distinct XLA:CPU programs in one
+    process; late in the run ``backend_compile_and_load`` has been
+    observed to segfault inside LLVM (see test_trainers.py::test_steps
+    after ~140 green tests — the same test passes in isolation and in
+    small groups). Releasing compiled executables between modules keeps
+    the CPU client's JIT-code footprint bounded. Costs a few re-compiles
+    for helpers shared across modules; worth it for a deterministic
+    suite.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

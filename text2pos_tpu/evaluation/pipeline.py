@@ -18,6 +18,7 @@ reference evaluation/args.py:44-50) are kept as cheap integration bounds.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -354,8 +355,6 @@ class LocalizationPipeline:
         # broadcast-reduce attention beats the kernel's cross-pair-masked
         # MXU formulation at these tiny per-pair shapes (T≤16, D=32).
         # Kept for parity experiments and larger-model regimes.
-        import os
-
         if (os.environ.get("T2P_FUSED_GNN")
                 and jax.default_backend() == "tpu"
                 and self.fine.cfg.embed_dim % 4 == 0):
@@ -401,8 +400,13 @@ class LocalizationPipeline:
         hint_rep = jnp.repeat(hint_enc, K, axis=0)        # [B·K, H, E]
 
         dt = model.dtype or jnp.float32
+        # Sweep at serving scale (scripts/sweep_gnn_kernel.py, N=20480,
+        # E=128, 12 blocks): G=4 120 ms, G=8 80 ms, G=16 86 ms, G=32
+        # 83 ms, G=64 138 ms — all above XLA's 61 ms, hence opt-in.
+        pairs = int(os.environ.get("T2P_FUSED_GNN_PAIRS", "8"))
         scores = gnn_scores_pallas(obj_enc, hint_rep, self._gnn_folded,
-                                   self.fine.cfg.num_layers, dtype=dt)
+                                   self.fine.cfg.num_layers, dtype=dt,
+                                   pairs_per_program=pairs)
         bin_score = fine_state.params["superglue"]["bin_score"]
         Z = log_optimal_transport(scores, bin_score,
                                   self.fine.cfg.sinkhorn_iters, impl="auto")
