@@ -66,7 +66,12 @@ def main():
                     help="global-negative memory bank for the coarse stage")
     ap.add_argument("--neg_bank_weight", type=float, default=1.0)
     ap.add_argument("--neg_bank_hardest", type=int, default=8)
+    ap.add_argument("--neg_bank_warmup", type=int, default=2)
     ap.add_argument("--eval_every", type=int, default=1)
+    ap.add_argument("--coarse_continue", default="",
+                    help="msgpack checkpoint to fine-tune the coarse stage "
+                         "from (e.g. checkpoints/bench_coarse.msgpack); "
+                         "use with a reduced --coarse_lr")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +123,9 @@ def main():
             pad_size=16, num_mentioned=6, neg_bank=args.neg_bank,
             neg_bank_weight=args.neg_bank_weight,
             neg_bank_hardest=args.neg_bank_hardest,
-            eval_every=args.eval_every, **pn_kwargs)
+            neg_bank_warmup=args.neg_bank_warmup,
+            eval_every=args.eval_every,
+            continue_path=args.coarse_continue, **pn_kwargs)
         t0 = time.time()
         state, res = coarse.train(ccfg, cells_train, poses_train,
                                   cells_val, poses_val,

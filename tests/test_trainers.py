@@ -119,6 +119,50 @@ class TestFineEvaluator:
         assert result["thresh"]["both_oracle"][5] > 0.9
 
 
+class TestContinueTraining:
+    def test_coarse_continue_path(self, tmp_path, synthetic_data):
+        """--continue_path restores saved weights into a fresh trainer.
+
+        Mirrors the reference's resume flow (training/coarse.py
+        ``args.continue_path`` → ``torch.load``): the restored state must
+        carry the checkpoint's parameters, not a fresh initialization,
+        and training must proceed from them.
+        """
+        import dataclasses
+
+        from text2pos_tpu.data.loaders import CoarseLoader
+        from text2pos_tpu.train.coarse import CoarseTrainer
+        from text2pos_tpu.train.state import save_checkpoint
+
+        cells, poses = synthetic_data
+        cfg = TrainConfig(**TINY)
+        vocab = Vocabulary(build_vocabulary(
+            [create_hint_description(p) for p in poses]))
+        loader = CoarseLoader(cells, poses, vocab, cfg.batch_size,
+                              cfg.coarse_max_objects, cfg.pointnet_numpoints,
+                              cfg.max_text_len)
+        rng = jax.random.PRNGKey(0)
+        batch = next(loader.epoch(seed=0))
+
+        state = CoarseTrainer(cfg, vocab).init_state(batch, rng, 1)
+        state, _ = CoarseTrainer(cfg, vocab).train_step(
+            state, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+        path = str(tmp_path / "coarse.msgpack")
+        save_checkpoint(path, state)
+
+        cont_cfg = dataclasses.replace(cfg, continue_path=path)
+        resumed = CoarseTrainer(cont_cfg, vocab).init_state(
+            batch, jax.random.PRNGKey(7), 1)  # different init RNG
+        trained = jax.tree_util.tree_leaves(state.params)
+        restored = jax.tree_util.tree_leaves(resumed.params)
+        for a, b in zip(trained, restored):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        resumed, loss = CoarseTrainer(cont_cfg, vocab).train_step(
+            resumed, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+        assert np.isfinite(float(loss))
+
+
 class TestCheckpointRoundtrip:
     def test_save_load(self, tmp_path, synthetic_data):
         from text2pos_tpu.train.state import (
