@@ -157,7 +157,38 @@ def _fine_stage_flops(B: int, K: int, T0: int = 16, T1: int = 6,
     return float(total) * pairs
 
 
+def _require_backend(timeout_s: float) -> None:
+    """Fail fast (exit 3) if backend init hangs past ``timeout_s``.
+
+    The remote-attached TPU runtime initializes through a relay; when the
+    relay is down, PJRT client creation blocks in a retry loop with no
+    timeout of its own, and the benchmark would hang forever instead of
+    reporting a failure. ``jax.devices()`` runs in a worker thread so the
+    watchdog can observe it; on timeout we ``os._exit`` (the blocked init
+    thread is not interruptible from Python).
+    """
+    import threading
+
+    done = threading.Event()
+
+    def _init():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(f"# ERROR: backend initialization did not complete within "
+              f"{timeout_s:.0f}s — remote TPU runtime unreachable",
+              flush=True)
+        os._exit(3)
+
+
 def run():
+    _require_backend(float(os.environ.get("T2P_BENCH_INIT_TIMEOUT", 600)))
+
     import jax
     import jax.numpy as jnp
 
