@@ -164,3 +164,63 @@ class TestLocalizeStream:
     def test_stream_empty_iterable(self, server):
         srv, *_ = server
         assert list(srv.localize_stream([])) == []
+
+
+class TestServingCLI:
+    def test_jsonl_cli_end_to_end(self, server, tmp_path, monkeypatch,
+                                  capsys):
+        """`python -m text2pos_tpu.serving` over JSON lines: one result
+        per query, ids preserved in order, partial final batch handled."""
+        import io
+        import json
+        import pickle
+        import sys
+
+        from text2pos_tpu import serving
+
+        srv, cells, poses, (pc, pf, ecfg) = server
+        cells_path = str(tmp_path / "map.pkl")
+        with open(cells_path, "wb") as f:
+            pickle.dump(cells, f)
+
+        queries = [create_hint_description(p) for p in poses[:5]]
+        lines = [json.dumps({"hints": q, "id": f"q{i}"})
+                 for i, q in enumerate(queries)]
+        monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines)))
+
+        serving.main([
+            "--path_coarse", pc, "--path_fine", pf,
+            "--cells_pickle", cells_path, "--no_calibrate",
+            "--dtype", "float32", "--batch", "4", "--top_k", "3",
+            "--pad_size", str(ecfg.pad_size),
+            "--num_mentioned", str(ecfg.num_mentioned),
+            "--coarse_max_objects", str(ecfg.coarse_max_objects),
+            "--pointnet_numpoints", str(ecfg.pointnet_numpoints),
+            "--max_hint_len", str(ecfg.max_hint_len),
+            "--max_text_len", str(ecfg.max_text_len),
+        ])
+
+        out = [json.loads(l) for l in
+               capsys.readouterr().out.strip().splitlines()]
+        assert [r["id"] for r in out] == [f"q{i}" for i in range(5)]
+        for r in out:
+            assert len(r["position"]) == 3
+            assert all(np.isfinite(v) for v in r["position"])
+            assert isinstance(r["cell_id"], str)
+            assert r["confidence"] >= 0
+
+    def test_iter_query_batches_padding(self):
+        """Final partial batch is padded to the static size and reports
+        the real count; bare-array lines get line-number ids."""
+        import io
+        import json
+
+        from text2pos_tpu.serving import _iter_query_batches
+
+        lines = [json.dumps([f"hint {i}"]) for i in range(5)]
+        got = list(_iter_query_batches(io.StringIO("\n".join(lines)), 3))
+        assert len(got) == 2
+        full, part = got
+        assert full[2] == 3 and part[2] == 2
+        assert len(part[0]) == 3 and part[0][2] == part[0][1]  # padded
+        assert full[1] == [0, 1, 2] and part[1] == [3, 4]

@@ -269,3 +269,128 @@ class LocalizationServer:
             "positions_k": pos_w,
             "confidences": np.asarray(conf),
         }
+
+
+# ----------------------------------------------------------------------
+# CLI: JSON-lines serving over stdin/stdout.
+# ----------------------------------------------------------------------
+def _iter_query_batches(stream, batch: int):
+    """Group stdin JSON lines into fixed-size hint-list batches.
+
+    Each line is either ``{"hints": [...], "id": ...}`` or a bare JSON
+    array of hint strings. Yields ``(hint_lists, ids, real)`` with the
+    final partial batch padded by repeating its last query (one static
+    batch shape → one compiled serving program)."""
+    import json
+
+    buf, ids = [], []
+    for lineno, line in enumerate(stream):
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        if isinstance(rec, dict):
+            buf.append(rec["hints"])
+            ids.append(rec.get("id", lineno))
+        else:
+            buf.append(rec)
+            ids.append(lineno)
+        if len(buf) == batch:
+            yield buf, ids, batch
+            buf, ids = [], []
+    if buf:
+        real = len(buf)
+        buf = buf + [buf[-1]] * (batch - real)
+        yield buf, ids, real
+
+
+def main(argv=None):
+    """``python -m text2pos_tpu.serving``: text→position, JSON lines.
+
+    Reads one query per stdin line, writes one JSON result line per
+    query: {"id", "position", "cell_id", "confidence"}. Batches of
+    ``--batch`` queries are served software-pipelined (localize_stream).
+    """
+    import argparse
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser(
+        description="Text2Pos serving: JSON-lines text→position")
+    ap.add_argument("--path_coarse", required=True)
+    ap.add_argument("--path_fine", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--cells_pickle",
+                     help="pickle of prepared Cell objects (the map)")
+    src.add_argument("--base_path",
+                     help="reference-format dataset dir (with --scenes)")
+    src.add_argument("--synthetic_seed", type=int,
+                     help="serve a synthetic demo map built from this seed")
+    ap.add_argument("--scenes", default="",
+                    help="comma-separated scene names for --base_path")
+    ap.add_argument("--top_k", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--pad_short", action="store_true",
+                    help="self-repeat hints of short queries instead of "
+                         "rejecting them")
+    ap.add_argument("--no_calibrate", action="store_true")
+    ap.add_argument("--data_parallel", type=int, default=1)
+    # Protocol overrides (defaults = the reference evaluation protocol);
+    # model dims (embed/layers/Sinkhorn) come from the checkpoints.
+    proto = EvalConfig()
+    for f in ("pad_size", "num_mentioned", "coarse_max_objects",
+              "pointnet_numpoints", "max_hint_len", "max_text_len"):
+        ap.add_argument(f"--{f}", type=int, default=getattr(proto, f))
+    args = ap.parse_args(argv)
+
+    if args.cells_pickle:
+        import pickle
+
+        with open(args.cells_pickle, "rb") as f:
+            cells = pickle.load(f)
+    elif args.base_path:
+        from text2pos_tpu.data.legacy import load_scenes
+
+        cells, _ = load_scenes(args.base_path,
+                               [s for s in args.scenes.split(",") if s])
+    else:
+        from text2pos_tpu.data.synthetic import make_synthetic_dataset
+
+        cells, _ = make_synthetic_dataset(seed=args.synthetic_seed)
+
+    cfg = EvalConfig(
+        top_k=(1, 5, args.top_k), threshs=(5, 10, 15),
+        pad_size=args.pad_size, num_mentioned=args.num_mentioned,
+        coarse_max_objects=args.coarse_max_objects,
+        pointnet_numpoints=args.pointnet_numpoints,
+        max_hint_len=args.max_hint_len, max_text_len=args.max_text_len)
+    server = LocalizationServer(
+        args.path_coarse, args.path_fine, cells, cfg=cfg, top_k=args.top_k,
+        dtype=None if args.dtype == "float32" else args.dtype,
+        calibrate=not args.no_calibrate, data_parallel=args.data_parallel)
+    print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
+          f"batch={args.batch}", file=sys.stderr, flush=True)
+
+    batches = _iter_query_batches(sys.stdin, args.batch)
+    metas = []          # (ids, real) per in-flight batch, FIFO
+
+    def gen():
+        for hint_lists, ids, real in batches:
+            metas.append((ids, real))
+            yield hint_lists
+
+    for out in server.localize_stream(gen(), pad_short_queries=args.pad_short):
+        ids, real = metas.pop(0)
+        for q in range(real):
+            print(json.dumps({
+                "id": ids[q],
+                "position": [float(v) for v in out["positions"][q]],
+                "cell_id": str(out["cell_ids"][q]),
+                "confidence": int(out["confidences"][q][0]),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
