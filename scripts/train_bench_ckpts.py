@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--neg_bank_hardest", type=int, default=8)
     ap.add_argument("--neg_bank_warmup", type=int, default=2)
     ap.add_argument("--eval_every", type=int, default=1)
+    ap.add_argument("--resume", action="store_true",
+                    help="outage-resilient mode: stages whose bench_*.msgpack "
+                         "already exists in --out_dir are skipped, and "
+                         "in-flight stages keep a rolling resume checkpoint "
+                         "so a killed run continues where it stopped")
     ap.add_argument("--coarse_continue", default="",
                     help="msgpack checkpoint to fine-tune the coarse stage "
                          "from (e.g. checkpoints/bench_coarse.msgpack); "
@@ -96,6 +101,8 @@ def main():
     # stages seed their ObjectEncoder from it, exactly like the reference
     # flow (training/pointcloud/pointnet2.py → object_encoder.py:43-46).
     pn_path = os.path.join(args.out_dir, "bench_pointnet.msgpack")
+    if args.resume and os.path.isfile(pn_path):
+        args.skip_pointnet = True
     if not args.skip_pointnet:
         from text2pos_tpu.train import pointnet2
 
@@ -113,10 +120,16 @@ def main():
         pn_kwargs = dict(pointnet_path=pn_path,
                          pointnet_freeze=args.pointnet_freeze)
 
+    coarse_out = os.path.join(args.out_dir, "bench_coarse.msgpack")
+    if args.resume and os.path.isfile(coarse_out):
+        print(f"resume: {coarse_out} exists, skipping coarse", flush=True)
+        args.skip_coarse = True
     if not args.skip_coarse:
         from text2pos_tpu.train import coarse
 
         ccfg = TrainConfig(
+            resume_path=(os.path.join(args.out_dir, "coarse_resume.msgpack")
+                         if args.resume else ""),
             batch_size=64, embed_dim=256, learning_rate=args.coarse_lr,
             lr_gamma=args.coarse_gamma, epochs=args.epochs, fused=True,
             coarse_max_objects=24, pointnet_numpoints=256,
@@ -132,13 +145,18 @@ def main():
                                   checkpoint_dir=args.out_dir)
         print(f"coarse training done in {time.time()-t0:.0f}s, "
               f"best={res['best_path']}", flush=True)
-        shutil.copy(res["best_path"],
-                    os.path.join(args.out_dir, "bench_coarse.msgpack"))
+        shutil.copy(res["best_path"], coarse_out)
 
+    fine_out = os.path.join(args.out_dir, "bench_fine.msgpack")
+    if args.resume and os.path.isfile(fine_out):
+        print(f"resume: {fine_out} exists, skipping fine", flush=True)
+        args.skip_fine = True
     if not args.skip_fine:
         from text2pos_tpu.train import fine
 
         fcfg = TrainConfig(
+            resume_path=(os.path.join(args.out_dir, "fine_resume.msgpack")
+                         if args.resume else ""),
             batch_size=32, embed_dim=128, learning_rate=args.fine_lr,
             epochs=fine_epochs, fused=True, num_layers=6, sinkhorn_iters=50,
             coarse_max_objects=24, pointnet_numpoints=256,
@@ -149,8 +167,7 @@ def main():
                                 checkpoint_dir=args.out_dir)
         print(f"fine training done in {time.time()-t0:.0f}s, "
               f"best={res['best_path']}", flush=True)
-        shutil.copy(res["best_path"],
-                    os.path.join(args.out_dir, "bench_fine.msgpack"))
+        shutil.copy(res["best_path"], fine_out)
 
 
 if __name__ == "__main__":

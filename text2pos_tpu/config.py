@@ -37,6 +37,10 @@ class TrainConfig:
     lr_idx: Optional[int] = None
     learning_rate: float = 1e-3
     continue_path: str = ""
+    resume_path: str = ""        # rolling full-state checkpoint; if the file
+                                 # exists training resumes from it (params +
+                                 # optimizer + epoch), else it is created and
+                                 # refreshed at every eval point
     no_pc_augment: bool = False
     no_cell_augment: bool = False
 

@@ -321,7 +321,19 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     history = {"train_loss": [], "train_acc": [], "val_acc": [], "val_acc_close": []}
     best_acc, best_path = -1.0, None
 
-    for epoch in range(1, cfg.epochs + 1):
+    # Outage-resilient resume: a rolling full-state checkpoint lets a run
+    # killed mid-flight (e.g. TPU relay drop) continue from the last eval
+    # point with the exact optimizer trajectory.
+    start_epoch = 0
+    if cfg.resume_path and os.path.isfile(cfg.resume_path):
+        from text2pos_tpu.train.state import load_resume_checkpoint
+
+        state, start_epoch, best_acc, best_path = load_resume_checkpoint(
+            cfg.resume_path, state)
+        log(f"resumed from {cfg.resume_path}: epoch {start_epoch} done, "
+            f"best val-acc {best_acc:0.3f}")
+
+    for epoch in range(start_epoch + 1, cfg.epochs + 1):
         t0 = time.time()
         if cfg.fused:
             state, loss = trainer.fused_train_epoch(state, epoch, rng)
@@ -362,6 +374,12 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
                 if best_path and best_path != path and os.path.isfile(best_path):
                     os.remove(best_path)
                 best_acc, best_path = acc, path
+
+        if cfg.resume_path:
+            from text2pos_tpu.train.state import save_resume_checkpoint
+
+            save_resume_checkpoint(cfg.resume_path, state, epoch,
+                                   best_acc, best_path)
 
     return state, {"history": history, "vocab": vocab, "best_path": best_path,
                    "trainer": trainer}

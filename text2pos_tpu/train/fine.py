@@ -255,7 +255,19 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
     metrics_log = MetricsLogger(os.environ.get("T2P_METRICS_JSONL"))
     history = {"train": [], "val": []}
     best_acc, best_path = -1.0, None
-    for epoch in range(cfg.epochs):
+
+    # Outage-resilient resume (same mechanism as the coarse driver):
+    # rolling full-state checkpoint incl. optimizer moments + epoch.
+    start_epoch = -1
+    if cfg.resume_path and os.path.isfile(cfg.resume_path):
+        from text2pos_tpu.train.state import load_resume_checkpoint
+
+        state, start_epoch, best_acc, best_path = load_resume_checkpoint(
+            cfg.resume_path, state)
+        log(f"resumed from {cfg.resume_path}: epoch {start_epoch} done, "
+            f"best val-acc {best_acc:0.3f}")
+
+    for epoch in range(start_epoch + 1, cfg.epochs):
         t0 = time.time()
         if cfg.fused:
             state, fused_loss = trainer.fused_train_epoch(state, epoch, rng)
@@ -298,6 +310,12 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
                 if best_path and best_path != path and os.path.isfile(best_path):
                     os.remove(best_path)
                 best_acc, best_path = acc, path
+
+        if cfg.resume_path:
+            from text2pos_tpu.train.state import save_resume_checkpoint
+
+            save_resume_checkpoint(cfg.resume_path, state, epoch,
+                                   best_acc, best_path)
 
     return state, {"history": history, "vocab": vocab, "best_path": best_path,
                    "trainer": trainer}

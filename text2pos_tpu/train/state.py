@@ -103,6 +103,61 @@ def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None
         f.write(flax.serialization.msgpack_serialize(payload))
 
 
+def save_resume_checkpoint(path: str, state: TrainState, epoch: int,
+                           best_acc: float, best_path: Optional[str],
+                           extra: Optional[Dict] = None) -> None:
+    """Rolling full-state checkpoint (params + BN + optimizer + progress).
+
+    Written atomically (tmp + rename) so a crash mid-write — e.g. the
+    remote TPU relay dropping during a long run — never corrupts the
+    resume point. Unlike ``save_checkpoint`` this includes ``opt_state``
+    (Adam moments + schedule counts), so a resumed run continues the
+    exact optimizer trajectory instead of restarting the moments.
+    """
+    payload = {
+        "params": flax.serialization.to_state_dict(state.params),
+        "batch_stats": flax.serialization.to_state_dict(state.batch_stats),
+        "opt_state": flax.serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "best_acc": float(best_acc),
+        "best_path": best_path or "",
+        "extra": extra or {},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_resume_checkpoint(path: str, state: TrainState
+                           ) -> tuple[TrainState, int, float, str]:
+    """Restore a ``save_resume_checkpoint`` payload into ``state``.
+
+    Returns ``(state, next_epoch, best_acc, best_path)`` where
+    ``next_epoch`` is the epoch the interrupted run had *completed*
+    (callers continue from ``next_epoch + 1`` in 1-based loops).
+    """
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    params = jax.device_put(
+        flax.serialization.from_state_dict(
+            jax.device_get(state.params), payload["params"]))
+    batch_stats = jax.device_put(
+        flax.serialization.from_state_dict(
+            jax.device_get(state.batch_stats), payload["batch_stats"]))
+    opt_state = jax.device_put(
+        flax.serialization.from_state_dict(
+            jax.device_get(state.opt_state), payload["opt_state"]))
+    state = state.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=params, batch_stats=batch_stats, opt_state=opt_state)
+    return (state, int(payload["epoch"]), float(payload["best_acc"]),
+            payload.get("best_path") or None)
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Restore a msgpack checkpoint with weight trees placed on device.
 
