@@ -224,3 +224,157 @@ class TestServingCLI:
         assert full[2] == 3 and part[2] == 2
         assert len(part[0]) == 3 and part[0][2] == part[0][1]  # padded
         assert full[1] == [0, 1, 2] and part[1] == [3, 4]
+
+
+class TestRerank:
+    """Fine-confidence re-ranking (serve_batch rerank_k / EvalConfig.rerank):
+    retrieve a wider coarse candidate pool, fine-match all of it, return the
+    top_k best by summed matched transport score."""
+
+    def test_serve_batch_rerank_matches_manual_reorder(self, server):
+        """serve_batch(top_k, rerank_k) ≡ retrieve rerank_k → fine-match →
+        stable-sort by conf score → slice top_k, computed by hand from the
+        unreranked building blocks."""
+        import jax.numpy as jnp
+
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+
+        srv, cells, poses, _ = server
+        pipe = srv.pipe
+        queries = [create_hint_description(p)[:srv.cfg.num_mentioned]
+                   for p in poses[:4]]
+        (tk, ln, htk, hln), _n = srv._prepare(queries, False)
+        top_k = 2
+        k_all = min(6, srv.bank.num_cells)
+        assert k_all > top_k
+
+        # Manual: wide retrieval, fine match, stable reorder, slice.
+        model = pipe.coarse.model
+        text_enc = model.apply(
+            {"params": pipe.coarse_state.params,
+             "batch_stats": pipe.coarse_state.batch_stats},
+            jnp.asarray(tk), jnp.asarray(ln), method=type(model).encode_text)
+        _, wide = topk_retrieval(text_enc, srv.cell_enc, k_all)
+        _, pm, po, cf, cs = pipe._match_chunk_cached(
+            pipe.fine_state, srv.fine_bank[0], srv.fine_bank[1],
+            wide, jnp.asarray(htk), jnp.asarray(hln))
+        cs = np.asarray(cs)
+        assert cs.dtype == np.float32 and cs.shape == wide.shape
+        order = np.argsort(-cs, axis=1, kind="stable")[:, :top_k]
+        rows = np.arange(len(queries))[:, None]
+        want_idx = np.asarray(wide)[rows, order]
+        want_pm = np.asarray(pm)[rows, order]
+        want_cf = np.asarray(cf)[rows, order]
+
+        got = pipe.serve_batch(
+            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+            srv.cell_enc, top_k, srv.fine_bank[0], srv.fine_bank[1], k_all)
+        np.testing.assert_array_equal(np.asarray(got[0], np.int64), want_idx)
+        np.testing.assert_allclose(np.asarray(got[1], np.float32), want_pm,
+                                   atol=1e-3)  # serve wire type is f16
+        np.testing.assert_array_equal(np.asarray(got[3], np.int32), want_cf)
+
+    def test_server_rerank_candidates_from_wider_pool(self, server,
+                                                      monkeypatch):
+        """A rerank server returns top_k cells drawn from the coarse
+        top-rerank_k pool (set inclusion), with unchanged output shapes."""
+        import jax.numpy as jnp
+
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+
+        srv, cells, poses, _ = server
+        k_all = min(6, srv.bank.num_cells)
+        queries = [create_hint_description(p)[:srv.cfg.num_mentioned]
+                   for p in poses[:3]]
+        monkeypatch.setattr(srv, "rerank_k", k_all)
+        out = srv.localize(queries)
+        assert out["top_cells"].shape == (3, srv.top_k)
+
+        (tk, ln, _h, _l), _n = srv._prepare(queries, False)
+        model = srv.pipe.coarse.model
+        enc = model.apply(
+            {"params": srv.pipe.coarse_state.params,
+             "batch_stats": srv.pipe.coarse_state.batch_stats},
+            jnp.asarray(tk), jnp.asarray(ln), method=type(model).encode_text)
+        _, wide = topk_retrieval(enc, srv.cell_enc, k_all)
+        wide = np.asarray(wide)
+        for q in range(3):
+            assert set(out["top_cells"][q]) <= set(wide[q])
+
+    def test_run_fine_rerank_full_k_accuracy_invariant(self, server):
+        """Re-ranking permutes each query's candidate list; accuracy over
+        ALL K candidates (min over the row) is permutation-invariant, so
+        top-K accuracy must match the unreranked pipeline exactly while
+        per-query candidate SETS stay identical."""
+        import dataclasses
+
+        from text2pos_tpu.data.loaders import CoarseLoader
+
+        srv, cells, poses, (pc, pf, ecfg) = server
+        pipe = srv.pipe
+        k_all = min(4, srv.bank.num_cells)
+
+        loader = CoarseLoader(cells, poses, srv.vocab, ecfg.batch_size,
+                              ecfg.coarse_max_objects,
+                              ecfg.pointnet_numpoints, ecfg.max_text_len)
+        base_cfg = dataclasses.replace(ecfg, top_k=(1, k_all))
+        rr_cfg = dataclasses.replace(ecfg, top_k=(1, k_all), rerank=k_all)
+
+        import copy
+        plain = copy.copy(pipe)
+        plain.cfg = base_cfg
+        rerank = copy.copy(pipe)
+        rerank.cfg = rr_cfg
+
+        top_idx, _ = plain.run_coarse(loader, poses)
+        top_idx_rr, _ = rerank.run_coarse(loader, poses)
+        np.testing.assert_array_equal(top_idx, top_idx_rr)
+
+        accs_p, _, _ = plain.run_fine(loader, poses, top_idx, srv.vocab,
+                                      fine_bank=srv.fine_bank)
+        accs_r, _, _ = rerank.run_fine(loader, poses, top_idx, srv.vocab,
+                                       fine_bank=srv.fine_bank)
+        assert accs_p[k_all] == accs_r[k_all]  # full-K is order-invariant
+
+
+class TestAOTServeExecutable:
+    def test_lowered_executable_matches_jit_and_reports_cost(self, server):
+        """bench.py serves through an AOT-compiled serve_batch executable
+        (jax.stages lower→compile) so XLA's post-fusion cost analysis can
+        be read off the very executable being timed. The AOT path must
+        produce the jit path's outputs, and the cost analysis — where the
+        backend exposes one — must carry positive FLOPs/bytes."""
+        import jax.numpy as jnp
+
+        from bench import _compiled_cost, _roofline
+
+        srv, cells, poses, _ = server
+        pipe = srv.pipe
+        queries = [create_hint_description(p)[:srv.cfg.num_mentioned]
+                   for p in poses[:4]]
+        (tk, ln, htk, hln), _n = srv._prepare(queries, False)
+        k = min(srv.top_k, srv.bank.num_cells)
+        dyn = (jnp.asarray(tk), jnp.asarray(ln), jnp.asarray(htk),
+               jnp.asarray(hln))
+
+        ref = pipe.serve_batch(pipe.coarse_state, pipe.fine_state, *dyn,
+                               srv.cell_enc, k,
+                               srv.fine_bank[0], srv.fine_bank[1])
+        exec_ = type(pipe).serve_batch.lower(
+            pipe, pipe.coarse_state, pipe.fine_state, *dyn, srv.cell_enc, k,
+            srv.fine_bank[0], srv.fine_bank[1]).compile()
+        aot = exec_(pipe.coarse_state, pipe.fine_state, *dyn, srv.cell_enc,
+                    srv.fine_bank[0], srv.fine_bank[1])
+        for r, a in zip(ref, aot):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(a),
+                                       atol=1e-6, rtol=1e-6)
+
+        flops, byts = _compiled_cost(exec_)
+        assert flops is None or flops > 0
+        assert byts is None or byts > 0
+        pct, bound = _roofline(flops, byts, measured_ms=10.0)
+        if flops and byts:
+            assert pct > 0 and bound in ("compute", "bandwidth")
+        else:
+            assert pct is None and bound is None

@@ -163,6 +163,13 @@ class EvalConfig:
     max_hint_len: int = 16
     coarse_max_objects: int = 28
     data_parallel: int = 1
+    # Fine-confidence re-ranking (no reference equivalent): retrieve this
+    # many coarse candidates, run the fine matcher on ALL of them, and
+    # re-rank by the summed Sinkhorn scores of matched objects before
+    # reporting top-k. Lifts the top-k ceiling from coarse top-k recall to
+    # coarse top-`rerank` recall at proportionally higher fine-stage cost.
+    # 0 = off (the reference protocol).
+    rerank: int = 0
 
     def __post_init__(self):
         self.top_k = tuple(self.top_k)

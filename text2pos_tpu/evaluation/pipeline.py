@@ -41,6 +41,21 @@ PAD_CLASS_IDX = CLASS_TO_INDEX["pad"] + 1  # dense class_index("pad")
 PAD_COLOR_IDX = 5                          # zeros-RGB → "black"
 
 
+def _match_confidence_scores(matches0: jnp.ndarray,
+                             mscores0: jnp.ndarray) -> jnp.ndarray:
+    """Float per-(query, cell) match confidence: the summed Sinkhorn
+    transport scores of matched objects, [B, K] float32.
+
+    Finer-grained than the integer matched-object count (confidences):
+    a cell whose objects match the hints with high transport mass scores
+    above one with the same number of marginal matches. Drives the
+    fine-confidence re-ranking path (``serve_batch(rerank_k=...)``,
+    ``EvalConfig.rerank``) — a TPU-native addition with no reference
+    equivalent (the reference only counts matches, pipeline.py:196)."""
+    scores = jnp.where(matches0 >= 0, mscores0.astype(jnp.float32), 0.0)
+    return jnp.sum(scores, axis=2)
+
+
 class LocalizationPipeline:
     """Bundles the coarse retriever + fine matcher for end-to-end eval."""
 
@@ -74,7 +89,11 @@ class LocalizationPipeline:
         centers (reference pipeline.py:38-137)."""
         cfg = self.cfg
         bank = loader.bank
-        max_k = min(max(cfg.top_k), bank.num_cells)
+        # With re-ranking the fine stage sees cfg.rerank candidates and
+        # reorders them; retrieve that many here (coarse accuracies below
+        # still only look at the first max(top_k) columns).
+        max_k = min(max(max(cfg.top_k), getattr(cfg, "rerank", 0)),
+                    bank.num_cells)
 
         if cfg.coarse_oracle:
             target = loader.pose_cell_idx
@@ -419,13 +438,15 @@ class LocalizationPipeline:
 
         pad = obj_enc.shape[1]
         matches0 = out["matches0"].reshape(B, K, pad)
+        mscores0 = out["matching_scores0"].reshape(B, K, pad)
         offsets = jnp.broadcast_to(offsets[:, None], (B, K, H, 2))
         centers_xy = centers_xy.reshape(B, K, pad, 2)
         pos_mean = get_pos_in_cell(centers_xy, matches0,
                                    jnp.zeros_like(offsets))
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
         confidences = jnp.sum(matches0 >= 0, axis=2)
-        return matches0, pos_mean, pos_offsets, confidences
+        conf_scores = _match_confidence_scores(matches0, mscores0)
+        return matches0, pos_mean, pos_offsets, confidences, conf_scores
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _match_chunk_cached(self, fine_state: TrainState,
@@ -454,13 +475,15 @@ class LocalizationPipeline:
 
         pad = obj_enc.shape[1]
         matches0 = out["matches0"].reshape(B, K, pad)
+        mscores0 = out["matching_scores0"].reshape(B, K, pad)
         offsets = out["offsets"].reshape(B, K, H, 2)
         centers_xy = centers_xy.reshape(B, K, pad, 2)
         pos_mean = get_pos_in_cell(centers_xy, matches0,
                                    jnp.zeros_like(offsets))
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
         confidences = jnp.sum(matches0 >= 0, axis=2)
-        return matches0, pos_mean, pos_offsets, confidences
+        conf_scores = _match_confidence_scores(matches0, mscores0)
+        return matches0, pos_mean, pos_offsets, confidences, conf_scores
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fine_chunk(self, fine_state: TrainState, bank_dev: Dict,
@@ -491,13 +514,15 @@ class LocalizationPipeline:
         )
 
         matches0 = out["matches0"].reshape(B, K, pad)
+        mscores0 = out["matching_scores0"].reshape(B, K, pad)
         offsets = out["offsets"].reshape(B, K, H, 2)
         centers_xy = centers[..., 0:2].reshape(B, K, pad, 2)
         pos_mean = get_pos_in_cell(centers_xy, matches0,
                                    jnp.zeros_like(offsets))
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
         confidences = jnp.sum(matches0 >= 0, axis=2)     # [B, K]
-        return matches0, pos_mean, pos_offsets, confidences
+        conf_scores = _match_confidence_scores(matches0, mscores0)
+        return matches0, pos_mean, pos_offsets, confidences, conf_scores
 
     def run_fine(self, loader, poses, top_idx: np.ndarray, vocab: Vocabulary,
                  chunk: int = 8, use_cache: bool = True,
@@ -538,6 +563,7 @@ class LocalizationPipeline:
         pos_mean = np.zeros((Q, K, 2), np.float32)
         pos_offsets = np.zeros((Q, K, 2), np.float32)
         confidences = np.zeros((Q, K), np.int32)
+        conf_scores = np.zeros((Q, K), np.float32)
         rng = jax.random.PRNGKey(cfg.seed)
         for i in range(0, Q, chunk):
             sl = slice(i, min(i + chunk, Q))
@@ -550,17 +576,30 @@ class LocalizationPipeline:
                 tok = np.concatenate([tok, tok[:1].repeat(reps, 0)])
                 lng = np.concatenate([lng, lng[:1].repeat(reps, 0)])
             if use_cache:
-                _, pm, po, cf = self._match_chunk_cached(
+                _, pm, po, cf, cs = self._match_chunk_cached(
                     self.fine_state, fine_bank[0], fine_bank[1],
                     jnp.asarray(idx), jnp.asarray(tok), jnp.asarray(lng))
             else:
-                _, pm, po, cf = self._fine_chunk(
+                _, pm, po, cf, cs = self._fine_chunk(
                     self.fine_state, bank_dev, jnp.asarray(idx),
                     jnp.asarray(tok), jnp.asarray(lng),
                     jax.random.fold_in(rng, i))
             pos_mean[sl] = np.asarray(pm)[:real]
             pos_offsets[sl] = np.asarray(po)[:real]
             confidences[sl] = np.asarray(cf)[:real]
+            conf_scores[sl] = np.asarray(cs)[:real]
+
+        if getattr(cfg, "rerank", 0) > 0 and K > 1:
+            # Fine-confidence re-ranking: reorder each query's candidates
+            # by summed matched transport scores (stable → coarse order
+            # breaks ties), so top-k accuracy is measured on the re-ranked
+            # list. The candidate SET is unchanged; only the order is.
+            order = np.argsort(-conf_scores, axis=1, kind="stable")
+            rows = np.arange(Q)[:, None]
+            top_idx = top_idx[rows, order]
+            pos_mean = pos_mean[rows, order]
+            pos_offsets = pos_offsets[rows, order]
+            confidences = confidences[rows, order]
 
         accs_mean = self._accuracies(poses, bank, top_idx, pos_mean)
         accs_offsets = self._accuracies(poses, bank, top_idx, pos_offsets)
@@ -575,17 +614,26 @@ class LocalizationPipeline:
     # ------------------------------------------------------------------
     # Single-program serving: the full query batch in one XLA program
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 8, 11))
     def serve_batch(self, coarse_state: TrainState, fine_state: TrainState,
                     tokens: jnp.ndarray, lengths: jnp.ndarray,
                     hint_tokens: jnp.ndarray, hint_lengths: jnp.ndarray,
                     cell_enc: jnp.ndarray, top_k: int,
-                    obj_enc_bank: jnp.ndarray, centers_xy_bank: jnp.ndarray):
+                    obj_enc_bank: jnp.ndarray, centers_xy_bank: jnp.ndarray,
+                    rerank_k: int = 0):
         """Localize a batch of queries end-to-end in ONE jitted program:
         LSTM text encode → top-k retrieval matmul → SuperGlue matching vs
         pre-encoded cells → in-cell positions. One host→device transfer of
         the token arrays, one device→host transfer of the results — the
         full realization of the zero-round-trip north star.
+
+        With ``rerank_k > top_k`` the coarse stage retrieves ``rerank_k``
+        candidates, the fine matcher runs on all of them, and the returned
+        ``top_k`` are the highest by summed matched transport score
+        (stable: coarse order breaks ties). Top-k recall is then bounded
+        by coarse top-``rerank_k`` recall instead of top-``top_k``, at
+        ``rerank_k/top_k``× the fine-stage compute. No reference
+        equivalent; off by default.
 
         Returns only the compact serving outputs (top_idx, pos_mean,
         pos_offsets, confidences) — per-object match indices are ~70% of
@@ -596,13 +644,22 @@ class LocalizationPipeline:
             {"params": coarse_state.params,
              "batch_stats": coarse_state.batch_stats},
             tokens, lengths, method=type(self.coarse.model).encode_text)
-        _, top_idx = topk_retrieval(text_enc, cell_enc, top_k)
+        k_all = rerank_k if rerank_k > top_k else top_k
+        _, top_idx = topk_retrieval(text_enc, cell_enc, k_all)
 
         match = (self._match_chunk_fused if self._gnn_folded is not None
                  else self._match_chunk_cached)
-        _, pos_mean, pos_offsets, confidences = match(
+        _, pos_mean, pos_offsets, confidences, conf_scores = match(
             fine_state, obj_enc_bank, centers_xy_bank, top_idx,
             hint_tokens, hint_lengths)
+        if rerank_k > top_k:
+            order = jnp.argsort(-conf_scores, axis=1,
+                                stable=True)[:, :top_k]
+            top_idx = jnp.take_along_axis(top_idx, order, axis=1)
+            pos_mean = jnp.take_along_axis(pos_mean, order[..., None], axis=1)
+            pos_offsets = jnp.take_along_axis(pos_offsets, order[..., None],
+                                              axis=1)
+            confidences = jnp.take_along_axis(confidences, order, axis=1)
         # Compact wire types: the device→host fetch rides a high-latency
         # link (~17 ms for the f32 results at Q=2048); int16 cell indices,
         # f16 in-cell positions (resolution 2⁻¹¹ of a cell ≈ 1.5 cm at
@@ -736,9 +793,10 @@ def main():
     else:
         accs_mean, accs_offsets, accs_conf = pipe.run_fine(
             loader, poses, top_idx, fine_vocab)
-        print_accuracies(accs_mean, "Fine (mean)")
-        print_accuracies(accs_offsets, "Fine (offsets)")
-        print_accuracies(accs_conf, "Fine (mean-conf)")
+        tag = f", reranked@{cfg.rerank}" if cfg.rerank > 0 else ""
+        print_accuracies(accs_mean, f"Fine (mean{tag})")
+        print_accuracies(accs_offsets, f"Fine (offsets{tag})")
+        print_accuracies(accs_conf, f"Fine (mean-conf{tag})")
 
 
 if __name__ == "__main__":

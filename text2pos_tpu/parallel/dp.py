@@ -223,7 +223,7 @@ def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
     return np.concatenate(out)
 
 
-def dp_serve_batch(pipe, mesh: Mesh, top_k: int):
+def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0):
     """Shard end-to-end serving over the mesh: queries split across
     devices, the (small) retrieval DB and fine bank replicated. Serving is
     embarrassingly parallel — no collectives beyond the output gather.
@@ -244,7 +244,7 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int):
                    tokens, lengths, hint_tokens, hint_lengths):
         return pipe.serve_batch(cstate, fstate, tokens, lengths,
                                 hint_tokens, hint_lengths, cell_enc, top_k,
-                                bank0, bank1)
+                                bank0, bank1, rerank_k)
 
     sharded = shard_map(
         per_device, mesh=mesh,

@@ -40,13 +40,17 @@ class LocalizationServer:
                  cfg: Optional[EvalConfig] = None, top_k: int = 10,
                  dtype: Optional[str] = "bfloat16", calibrate: bool = True,
                  calibration_hints: Optional[Sequence[Sequence[str]]] = None,
-                 data_parallel: int = 1):
+                 data_parallel: int = 1, rerank_k: int = 0):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
             cells: the map (Cell objects, e.g. from data.prepare or a
                 dataset pickle).
             top_k: retrieved cells per query.
+            rerank_k: when > top_k, retrieve this many coarse candidates,
+                fine-match all of them and return the top_k highest by
+                summed matched transport score (fine-confidence
+                re-ranking; ``rerank_k/top_k``× fine-stage compute).
             dtype: serving compute dtype for the model bodies.
             calibrate: freeze fine-stage BN statistics on population data
                 and serve in true eval mode (recommended; False keeps the
@@ -66,6 +70,7 @@ class LocalizationServer:
 
         self.cfg = cfg or EvalConfig(top_k=(1, 5, top_k), threshs=(5, 10, 15))
         self.top_k = top_k
+        self.rerank_k = rerank_k
         pipe, vocab, _ = build_pipeline_from_checkpoints(
             self.cfg, path_coarse, path_fine, dtype=dtype)
         self.vocab = vocab
@@ -110,7 +115,8 @@ class LocalizationServer:
             self._dp = data_parallel
             self._dp_serve = dp_serve_batch(
                 pipe, make_mesh(data_parallel),
-                min(top_k, self.bank.num_cells))
+                min(top_k, self.bank.num_cells),
+                min(rerank_k, self.bank.num_cells))
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -208,7 +214,8 @@ class LocalizationServer:
         return pipe.serve_batch(
             pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
             jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
-            self.cell_enc, k, self.fine_bank[0], self.fine_bank[1])
+            self.cell_enc, k, self.fine_bank[0], self.fine_bank[1],
+            min(self.rerank_k, self.bank.num_cells))
 
     def localize(self, hint_lists: Sequence[Sequence[str]],
                  pad_short_queries: bool = False) -> Dict:
@@ -329,6 +336,10 @@ def main(argv=None):
     ap.add_argument("--scenes", default="",
                     help="comma-separated scene names for --base_path")
     ap.add_argument("--top_k", type=int, default=10)
+    ap.add_argument("--rerank_k", type=int, default=0,
+                    help="fine-confidence re-ranking: retrieve this many "
+                         "coarse candidates, fine-match all, return the "
+                         "top_k best by match confidence (0 = off)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=64)
@@ -369,7 +380,8 @@ def main(argv=None):
     server = LocalizationServer(
         args.path_coarse, args.path_fine, cells, cfg=cfg, top_k=args.top_k,
         dtype=None if args.dtype == "float32" else args.dtype,
-        calibrate=not args.no_calibrate, data_parallel=args.data_parallel)
+        calibrate=not args.no_calibrate, data_parallel=args.data_parallel,
+        rerank_k=args.rerank_k)
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)
 
