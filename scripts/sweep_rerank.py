@@ -1,0 +1,142 @@
+"""Offline sweep of fine-confidence re-ranking operating points.
+
+Answers, with ONE fine-matching pass at the widest candidate pool:
+ 1. how much does re-ranking lift top-10@15m as the pool K' grows, and
+ 2. does blending the coarse retrieval similarity into the ranking score
+    (score = conf + lambda * sim) beat pure match confidence?
+
+Uses the benchmark protocol (bench.make_bench_dataset + trained
+checkpoints, same calibration as bench.run). Re-ranking restricted to the
+first K' columns of the widest retrieval is exactly what serving with
+rerank_k=K' computes, so the whole (K', lambda) grid costs one device
+pass + a numpy sweep.
+
+Run (TPU): python scripts/sweep_rerank.py [--kmax 40] [--chunk 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench  # noqa: E402  (benchmark dataset/checkpoint/calibration setup)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kmax", type=int, default=40,
+                    help="widest candidate pool (one matching pass)")
+    ap.add_argument("--ks", type=int, nargs="*",
+                    default=[10, 15, 20, 30, 40])
+    ap.add_argument("--lambdas", type=float, nargs="*",
+                    default=[0.0, 0.5, 1.0, 2.0, 4.0, 8.0])
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="queries per fine-matching dispatch")
+    ap.add_argument("--top_k", type=int, default=10)
+    args = ap.parse_args()
+
+    bench._require_backend(float(os.environ.get("T2P_BENCH_INIT_TIMEOUT",
+                                                600)))
+    import jax
+    import jax.numpy as jnp
+
+    bench._enable_compile_cache()
+    pipe, loader, poses, vocab, trained = bench.build()
+    bank = loader.bank
+    kmax = min(args.kmax, bank.num_cells)
+    print(f"# sweep_rerank: {bank.num_cells} cells, {len(poses)} queries, "
+          f"kmax={kmax}, trained={trained}", flush=True)
+
+    cell_enc = pipe.coarse.encode_all_cells(pipe.coarse_state, bank,
+                                            jax.random.PRNGKey(0))
+    cell_enc_dev = jnp.asarray(cell_enc)
+
+    from text2pos_tpu.data.hints import create_hint_description
+
+    H, Th = pipe.cfg.num_mentioned, pipe.cfg.max_hint_len
+    Q = len(poses)
+    hint_tokens = np.zeros((Q, H, Th), np.int32)
+    hint_lengths = np.ones((Q, H), np.int32)
+    for i, p in enumerate(poses):
+        tk, ln = vocab.encode_batch(create_hint_description(p)[:H], Th)
+        hint_tokens[i, : len(tk)] = tk
+        hint_lengths[i, : len(ln)] = ln
+
+    bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
+        "points_xyz", "points_rgb", "point_count", "centers", "colors",
+        "class_idx", "color_idx", "mask")}
+    text_enc = pipe.coarse.encode_all_queries(pipe.coarse_state, loader)
+    from text2pos_tpu.ops.retrieval import topk_retrieval
+
+    if bench.CALIBRATE:
+        _, cal_idx = topk_retrieval(jnp.asarray(text_enc), cell_enc_dev,
+                                    args.top_k)
+        pipe, fine_bank = pipe.calibrated_for_serving(
+            bank, bank_dev, hint_tokens, hint_lengths, np.asarray(cal_idx))
+    else:
+        fine_bank = pipe.precompute_fine_bank(bank, bank_dev)
+    jax.block_until_ready(fine_bank)
+    print("# fine bank + calibration ready", flush=True)
+
+    # One wide retrieval + one matching pass at kmax.
+    sims_dev, wide_dev = topk_retrieval(jnp.asarray(text_enc), cell_enc_dev,
+                                        kmax)
+    wide = np.asarray(wide_dev)
+    sims = np.asarray(sims_dev, np.float32)           # [Q, kmax] descending
+
+    pos = np.zeros((Q, kmax, 2), np.float32)
+    conf = np.zeros((Q, kmax), np.float32)
+    for i in range(0, Q, args.chunk):
+        sl = slice(i, min(i + args.chunk, Q))
+        real = sl.stop - sl.start
+        idx, htk, hln = wide[sl], hint_tokens[sl], hint_lengths[sl]
+        if real < args.chunk:
+            reps = args.chunk - real
+            idx = np.concatenate([idx, idx[:1].repeat(reps, 0)])
+            htk = np.concatenate([htk, htk[:1].repeat(reps, 0)])
+            hln = np.concatenate([hln, hln[:1].repeat(reps, 0)])
+        _, pm, po, _, cs = pipe._match_chunk_cached(
+            pipe.fine_state, fine_bank[0], fine_bank[1], jnp.asarray(idx),
+            jnp.asarray(htk), jnp.asarray(hln))
+        pos[sl] = np.asarray(po, np.float32)[:real]
+        conf[sl] = np.asarray(cs, np.float32)[:real]
+    print("# matching pass done", flush=True)
+
+    rows = np.arange(Q)[:, None]
+
+    def acc_for(order_score: np.ndarray, kprime: int) -> float:
+        """top-10@15m after re-ranking the first kprime columns by score."""
+        order = np.argsort(-order_score[:, :kprime], axis=1,
+                           kind="stable")[:, : args.top_k]
+        accs = pipe._accuracies(poses, bank, wide[rows, order],
+                                pos[rows, order], top_k=(args.top_k,))
+        return accs[args.top_k][15]
+
+    base = acc_for(-np.broadcast_to(np.arange(kmax, dtype=np.float32),
+                                    (Q, kmax)), args.top_k)
+    print(f"# baseline (coarse order, top-{args.top_k}): {base:0.4f}",
+          flush=True)
+    print("kprime  " + "  ".join(f"lam={l:g}" for l in args.lambdas)
+          + "  coarse_ceiling@kprime", flush=True)
+    pose_w = np.array([p.pose_w[0:2] for p in poses])
+    for kprime in args.ks:
+        kprime = min(kprime, kmax)
+        vals = []
+        for lam in args.lambdas:
+            vals.append(acc_for(conf + lam * sims, kprime))
+        lo = bank.bbox_w[wide[:, :kprime]][..., 0:2]
+        size = bank.cell_size[wide[:, :kprime]][..., None]
+        perfect = np.clip((pose_w[:, None, :] - lo) / size, 0, 1)
+        ceil = pipe._accuracies(poses, bank, wide[:, :kprime], perfect,
+                                top_k=(kprime,))[kprime][15]
+        print(f"{kprime:6d}  " + "  ".join(f"{v:0.4f}" for v in vals)
+              + f"  {ceil:0.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
