@@ -31,11 +31,23 @@ MFU estimate as additional keys.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 
 import numpy as np
+
+T_START = time.time()
+# Wall budget for the whole benchmark process. The driver runs bench.py
+# under a hard timeout (BENCH_r03 recorded rc=124); every optional section
+# below checks the remaining budget first so the headline JSON line is
+# always emitted before a kill can land.
+BUDGET_S = float(os.environ.get("T2P_BENCH_BUDGET_S", 1200))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
 
 # Benchmark scale. A 2048-cell DB (8 scenes × 16×16 grid) ≈ the val-scene
 # DB size of KITTI360Pose; 2048 queries ≈ a val-sized query sweep.
@@ -213,6 +225,75 @@ def _require_backend(timeout_s: float) -> None:
         os._exit(3)
 
 
+DB_CACHE = os.environ.get("T2P_BENCH_DB_CACHE",
+                          "checkpoints/bench_db_cache.npz")
+DB_CACHE_VERSION = "v1"
+
+
+def _db_cache_key() -> str:
+    """Cache key binding the offline DB precompute to the exact checkpoint
+    bytes and serving protocol — any retrain or protocol change misses."""
+    h = hashlib.sha256()
+    for path in (CKPT_COARSE, CKPT_FINE):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    h.update(f"{DB_CACHE_VERSION}|{NUM_SCENES}|{NUM_CELLS_GRID}|"
+             f"{NUM_QUERIES}|{TOP_K}|{DTYPE}|{CALIBRATE}".encode())
+    return h.hexdigest()
+
+
+def _load_db_cache(key: str):
+    """Load (cell_enc, fine_bank, calibrated batch_stats) if the committed
+    DB cache matches ``key``. The map is static at serving time, so the
+    offline precompute (fine-bank encode + BN calibration — the largest
+    XLA programs here, 927 s cold-compile in the BENCH_r03 kill) is run
+    once after training and restored on every later bench run."""
+    import flax
+
+    if not os.path.isfile(DB_CACHE):
+        return None
+    try:
+        with np.load(DB_CACHE) as z:
+            if str(z["key"]) != key:
+                print(f"# db cache: stale key, recomputing ({DB_CACHE})",
+                      flush=True)
+                return None
+            cell_enc = z["cell_enc"]
+            fb0, fb1 = z["fine_bank_enc"], z["fine_bank_centers"]
+            bs = None
+            if "batch_stats" in z.files:
+                bs = flax.serialization.msgpack_restore(
+                    z["batch_stats"].tobytes())
+        return cell_enc, fb0, fb1, bs
+    except Exception as e:  # corrupt cache must never kill the bench
+        print(f"# db cache: load failed ({e!r}), recomputing", flush=True)
+        return None
+
+
+def _save_db_cache(key: str, cell_enc, fine_bank, batch_stats) -> None:
+    import flax
+    import jax
+
+    arrays = dict(
+        key=np.array(key),
+        cell_enc=np.asarray(cell_enc, np.float32),
+        fine_bank_enc=np.asarray(fine_bank[0], np.float32),
+        fine_bank_centers=np.asarray(fine_bank[1], np.float32),
+    )
+    if batch_stats is not None:
+        raw = flax.serialization.msgpack_serialize(
+            jax.tree.map(lambda x: np.asarray(x),
+                         flax.core.unfreeze(batch_stats)))
+        arrays["batch_stats"] = np.frombuffer(raw, np.uint8)
+    tmp = DB_CACHE + ".tmp"
+    os.makedirs(os.path.dirname(DB_CACHE) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, DB_CACHE)
+    print(f"# db cache: saved {DB_CACHE} "
+          f"({os.path.getsize(DB_CACHE)/1e6:0.1f} MB)", flush=True)
+
+
 def run():
     _require_backend(float(os.environ.get("T2P_BENCH_INIT_TIMEOUT", 600)))
 
@@ -227,18 +308,6 @@ def run():
           f"dtype={DTYPE}, trained_weights={trained}, "
           f"devices={jax.devices()}", flush=True)
 
-    # ------------------------------------------------------------------
-    # Offline: pre-encode the cell database — coarse retrieval embeddings
-    # and the fine stage's query-independent object encodings (the map is
-    # static at serving time). Timed separately.
-    # ------------------------------------------------------------------
-    t0 = time.time()
-    cell_enc = pipe.coarse.encode_all_cells(
-        pipe.coarse_state, bank, jax.random.PRNGKey(0))
-    cell_enc_dev = jnp.asarray(cell_enc)
-    print(f"# coarse db encode: {bank.num_cells} cells in "
-          f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
-
     tokens, lengths = loader.all_query_tokens()
     from text2pos_tpu.data.hints import create_hint_description
 
@@ -250,31 +319,66 @@ def run():
         hint_tokens[i, : len(tk)] = tk
         hint_lengths[i, : len(ln)] = ln
 
-    t0 = time.time()
-    bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
-        "points_xyz", "points_rgb", "point_count", "centers", "colors",
-        "class_idx", "color_idx", "mask")}
-    if CALIBRATE:
-        # Freeze the fine stage's BN statistics on the serving population
-        # and serve in true eval mode: per-query results become independent
-        # of co-batched queries and the serving program is purely per-pair
-        # (pipeline.calibrated_for_serving). Calibration retrievals come
-        # from the model itself.
-        text_enc_cal = pipe.coarse.encode_all_queries(pipe.coarse_state,
-                                                      loader)
-        from text2pos_tpu.ops.retrieval import topk_retrieval as _topk
-
-        _, cal_idx = _topk(jnp.asarray(text_enc_cal), cell_enc_dev, TOP_K)
-        pipe, fine_bank = pipe.calibrated_for_serving(
-            bank, bank_dev, hint_tokens, hint_lengths, np.asarray(cal_idx))
+    # ------------------------------------------------------------------
+    # Offline: pre-encode the cell database — coarse retrieval embeddings
+    # and the fine stage's query-independent object encodings (the map is
+    # static at serving time). Timed separately from serving, and cached
+    # on disk keyed by checkpoint hash: after a retrain the first bench
+    # run computes + saves it, every later run (e.g. the driver's) loads
+    # it and skips the biggest cold compiles in the process.
+    # ------------------------------------------------------------------
+    cache_key = _db_cache_key() if trained else None
+    cached = _load_db_cache(cache_key) if cache_key else None
+    if cached is not None:
+        cell_enc, fb0, fb1, cached_bs = cached
+        cell_enc_dev = jnp.asarray(cell_enc)
+        fine_bank = (jnp.asarray(fb0), jnp.asarray(fb1))
+        if CALIBRATE and cached_bs is not None:
+            pipe = pipe.with_calibrated_stats(
+                jax.tree.map(jnp.asarray, cached_bs))
         jax.block_until_ready(fine_bank)
-        print(f"# fine db encode + BN calibration: {bank.num_cells} cells in "
-              f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
+        print(f"# db cache: restored {bank.num_cells} cells from {DB_CACHE} "
+              f"({time.time()-T_START:0.1f}s into run)", flush=True)
     else:
-        fine_bank = pipe.precompute_fine_bank(bank, bank_dev)
-        jax.block_until_ready(fine_bank)
-        print(f"# fine db encode: {bank.num_cells} cells in "
+        t0 = time.time()
+        cell_enc = pipe.coarse.encode_all_cells(
+            pipe.coarse_state, bank, jax.random.PRNGKey(0))
+        cell_enc_dev = jnp.asarray(cell_enc)
+        print(f"# coarse db encode: {bank.num_cells} cells in "
               f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
+
+        t0 = time.time()
+        bank_dev = {k: jnp.asarray(getattr(bank, k)) for k in (
+            "points_xyz", "points_rgb", "point_count", "centers", "colors",
+            "class_idx", "color_idx", "mask")}
+        if CALIBRATE:
+            # Freeze the fine stage's BN statistics on the serving
+            # population and serve in true eval mode: per-query results
+            # become independent of co-batched queries and the serving
+            # program is purely per-pair (pipeline.calibrated_for_serving).
+            # Calibration retrievals come from the model itself.
+            text_enc_cal = pipe.coarse.encode_all_queries(pipe.coarse_state,
+                                                          loader)
+            from text2pos_tpu.ops.retrieval import topk_retrieval as _topk
+
+            _, cal_idx = _topk(jnp.asarray(text_enc_cal), cell_enc_dev,
+                               TOP_K)
+            pipe, fine_bank = pipe.calibrated_for_serving(
+                bank, bank_dev, hint_tokens, hint_lengths,
+                np.asarray(cal_idx))
+            jax.block_until_ready(fine_bank)
+            print(f"# fine db encode + BN calibration: {bank.num_cells} "
+                  f"cells in {time.time()-t0:0.1f}s (incl. compile)",
+                  flush=True)
+        else:
+            fine_bank = pipe.precompute_fine_bank(bank, bank_dev)
+            jax.block_until_ready(fine_bank)
+            print(f"# fine db encode: {bank.num_cells} cells in "
+                  f"{time.time()-t0:0.1f}s (incl. compile)", flush=True)
+        if cache_key:
+            _save_db_cache(cache_key, cell_enc, fine_bank,
+                           pipe.fine_state.batch_stats if CALIBRATE
+                           else None)
 
     # ------------------------------------------------------------------
     # Serving path: the ENTIRE query batch in one jitted program
@@ -348,6 +452,143 @@ def run():
           f" ≤ fine_oracle(same retrievals)={acc_oracle:0.3f}", flush=True)
 
     # ------------------------------------------------------------------
+    # Reference-style execution: per-query host loop (same models, same
+    # chip, the reference's batching pattern — /root/reference/evaluation/
+    # pipeline.py:190-202). Runs BEFORE the headline JSON so vs_baseline
+    # is real; skipped only when the budget is nearly gone.
+    # ------------------------------------------------------------------
+    ref_qps = None
+    if _remaining() > 240:
+        B = pipe.coarse.cfg.batch_size
+        cell_enc_np = np.asarray(cell_enc)
+
+        def one_query(qi):
+            tk = np.zeros((B, tokens.shape[1]), tokens.dtype)
+            ln = np.ones(B, lengths.dtype)
+            tk[0], ln[0] = tokens[qi], lengths[qi]
+            enc = np.asarray(pipe.coarse.encode_text_step(
+                pipe.coarse_state, jnp.asarray(tk), jnp.asarray(ln)))[0]
+            scores = cell_enc_np @ enc                       # host matmul
+            order = np.argsort(-scores)[:TOP_K]              # host argsort
+            pipe.run_fine(loader, [poses[qi]], order[None], vocab, chunk=1,
+                          use_cache=False)                   # re-encode/query
+        one_query(0)  # compile the chunk=1 path
+        t0 = time.time()
+        for qi in range(BASELINE_QUERIES):
+            one_query(qi)
+        ref_elapsed = time.time() - t0
+        ref_qps = BASELINE_QUERIES / ref_elapsed
+        print(f"# reference-style loop: {BASELINE_QUERIES} queries in "
+              f"{ref_elapsed:0.3f}s → {ref_qps:0.1f} q/s", flush=True)
+    else:
+        print(f"# reference-style loop: skipped "
+              f"({_remaining():0.0f}s budget left)", flush=True)
+
+    # ------------------------------------------------------------------
+    # HEADLINE RECORD — emitted now, before any optional extras, so a
+    # driver timeout mid-extras can never cost the round's record again
+    # (BENCH_r03 died after 1290 s of cold compiles with no JSON line).
+    # Extras below append to `record` and re-print an enriched final line;
+    # a parser taking either the first or the last JSON line gets a
+    # complete result.
+    # ------------------------------------------------------------------
+    record = {
+        "metric": "localization_queries_per_sec",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": (round(qps / ref_qps, 2) if ref_qps else None),
+        "db_cells": int(bank.num_cells),
+        "queries": len(poses),
+        "trained_weights": trained,
+        "bn_mode": "calibrated" if CALIBRATE else "batch_stats",
+        "top10_at_15m": round(float(acc10_15), 4),
+        "top1_at_15m": round(float(accs[1][15]), 4),
+        "bracket_coarse_random": round(float(acc_random), 4),
+        "bracket_fine_oracle": round(float(acc_oracle), 4),
+        "serve_gflops": (round(serve_flops / 1e9, 1) if serve_flops else None),
+        "serve_hbm_gb": (round(serve_bytes / 1e9, 2) if serve_bytes else None),
+    }
+    print(json.dumps(record), flush=True)
+
+    # ------------------------------------------------------------------
+    # Per-stage device time + fine-stage MFU (timed reps, distinct args),
+    # budget-gated: two small extra compiles.
+    # ------------------------------------------------------------------
+    if _remaining() > 150:
+        cstate, fstate = pipe.coarse_state, pipe.fine_state
+
+        def _timed(fn, arglists):
+            out = fn(*arglists[-1])
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for a in arglists[:-1]:
+                out = fn(*a)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / (len(arglists) - 1) * 1000.0
+
+        @jax.jit
+        def _text_retrieve(tk, ln):
+            enc = pipe.coarse.model.apply(
+                {"params": cstate.params, "batch_stats": cstate.batch_stats},
+                tk, ln, method=type(pipe.coarse.model).encode_text)
+            from text2pos_tpu.ops.retrieval import topk_retrieval
+
+            return topk_retrieval(enc, cell_enc_dev, TOP_K)[1]
+
+        @jax.jit
+        def _fine_match(tidx, htk, hln):
+            return pipe._match_chunk_cached(fstate, fine_bank[0],
+                                            fine_bank[1], tidx, htk, hln)
+
+        tr_exec = _text_retrieve.lower(*rep_args[0][:2]).compile()
+        tr_flops, tr_bytes = _compiled_cost(tr_exec)
+        tr_ms = _timed(tr_exec, [(a[0], a[1]) for a in rep_args])
+        tops_dev = [tr_exec(a[0], a[1]) for a in rep_args]
+        jax.block_until_ready(tops_dev)
+        fm_exec = _fine_match.lower(tops_dev[0], rep_args[0][2],
+                                    rep_args[0][3]).compile()
+        fm_flops, fm_bytes = _compiled_cost(fm_exec)
+        fine_ms = _timed(fm_exec,
+                         [(t, a[2], a[3]) for t, a in zip(tops_dev,
+                                                          rep_args)])
+        fine_flops = _fine_stage_flops(len(poses), TOP_K)
+        fine_mfu = (fine_flops / (fine_ms / 1000.0)
+                    / (PEAK_TFLOPS * 1e12) * 100.0)
+        print(f"# device stages: text+retrieval {tr_ms:0.1f} ms, fine match "
+              f"{fine_ms:0.1f} ms ({fine_flops/1e9:0.1f} GFLOP → "
+              f"{fine_mfu:0.2f}% MFU of {PEAK_TFLOPS:0.0f} TFLOP/s peak)",
+              flush=True)
+
+        # Roofline accounting from the compiled executables themselves
+        # (XLA post-fusion FLOPs + HBM traffic vs the chip's two walls):
+        # says not just how fast each stage is, but how fast it COULD be
+        # and which resource binds it.
+        fine_roof_pct, fine_bound = _roofline(fm_flops, fm_bytes, fine_ms)
+        tr_roof_pct, tr_bound = _roofline(tr_flops, tr_bytes, tr_ms)
+        for name, fl, by, ms, pct, bound in (
+                ("text+retrieval", tr_flops, tr_bytes, tr_ms, tr_roof_pct,
+                 tr_bound),
+                ("fine match", fm_flops, fm_bytes, fine_ms, fine_roof_pct,
+                 fine_bound)):
+            if pct is not None:
+                print(f"# roofline[{name}]: {fl/1e9:0.1f} GFLOP, "
+                      f"{by/1e9:0.2f} GB HBM → {bound}-bound, {pct:0.1f}% "
+                      f"of roofline at {ms:0.1f} ms", flush=True)
+        record.update({
+            "device_ms_text_retrieval": round(tr_ms, 1),
+            "device_ms_fine_match": round(fine_ms, 1),
+            "fine_mfu_pct": round(fine_mfu, 2),
+            "fine_roofline_pct": fine_roof_pct,
+            "fine_bound": fine_bound,
+            "text_retrieval_roofline_pct": tr_roof_pct,
+            "text_retrieval_bound": tr_bound,
+        })
+        print(json.dumps(record), flush=True)
+    else:
+        print(f"# per-stage timing: skipped ({_remaining():0.0f}s budget "
+              f"left)", flush=True)
+
+    # ------------------------------------------------------------------
     # Fine-confidence re-ranking (TPU-native addition, serve_batch
     # rerank_k): retrieve RERANK_K coarse candidates, fine-match all of
     # them, return the top-10 best by summed matched transport score.
@@ -356,9 +597,9 @@ def run():
     # headline protocol above stays the reference protocol; this is
     # measured separately. T2P_BENCH_RERANK=0 disables.
     # ------------------------------------------------------------------
-    rerank_fields = {}
     RERANK_K = int(os.environ.get("T2P_BENCH_RERANK", 20))
-    if RERANK_K > TOP_K and bank.num_cells >= RERANK_K:
+    if (RERANK_K > TOP_K and bank.num_cells >= RERANK_K
+            and _remaining() > 180):
         t0 = time.time()
         rr_exec = type(pipe).serve_batch.lower(
             pipe, pipe.coarse_state, pipe.fine_state, tk0, ln0, htk0, hln0,
@@ -405,125 +646,17 @@ def run():
               f"{accs_rr[TOP_K][15]:0.3f} (top-1@15m={accs_rr[1][15]:0.3f}; "
               f"ceiling coarse top-{RERANK_K} recall={rr_ceiling:0.3f})",
               flush=True)
-        rerank_fields = {
+        record.update({
             "rerank_k": RERANK_K,
             "rerank_qps": round(rr_qps, 2),
             "rerank_top10_at_15m": round(float(accs_rr[TOP_K][15]), 4),
             "rerank_top1_at_15m": round(float(accs_rr[1][15]), 4),
             "rerank_ceiling_recall": round(float(rr_ceiling), 4),
-        }
-
-    # ------------------------------------------------------------------
-    # Per-stage device time + fine-stage MFU (3 timed reps, distinct args).
-    # ------------------------------------------------------------------
-    cstate, fstate = pipe.coarse_state, pipe.fine_state
-
-    def _timed(fn, arglists):
-        out = fn(*arglists[-1])
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for a in arglists[:-1]:
-            out = fn(*a)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / (len(arglists) - 1) * 1000.0
-
-    @jax.jit
-    def _text_retrieve(tk, ln):
-        enc = pipe.coarse.model.apply(
-            {"params": cstate.params, "batch_stats": cstate.batch_stats},
-            tk, ln, method=type(pipe.coarse.model).encode_text)
-        from text2pos_tpu.ops.retrieval import topk_retrieval
-
-        return topk_retrieval(enc, cell_enc_dev, TOP_K)[1]
-
-    @jax.jit
-    def _fine_match(tidx, htk, hln):
-        return pipe._match_chunk_cached(fstate, fine_bank[0], fine_bank[1],
-                                        tidx, htk, hln)
-
-    tr_exec = _text_retrieve.lower(*rep_args[0][:2]).compile()
-    tr_flops, tr_bytes = _compiled_cost(tr_exec)
-    tr_ms = _timed(tr_exec, [(a[0], a[1]) for a in rep_args])
-    tops_dev = [tr_exec(a[0], a[1]) for a in rep_args]
-    jax.block_until_ready(tops_dev)
-    fm_exec = _fine_match.lower(tops_dev[0], rep_args[0][2],
-                                rep_args[0][3]).compile()
-    fm_flops, fm_bytes = _compiled_cost(fm_exec)
-    fine_ms = _timed(fm_exec,
-                     [(t, a[2], a[3]) for t, a in zip(tops_dev, rep_args)])
-    fine_flops = _fine_stage_flops(len(poses), TOP_K)
-    fine_mfu = fine_flops / (fine_ms / 1000.0) / (PEAK_TFLOPS * 1e12) * 100.0
-    print(f"# device stages: text+retrieval {tr_ms:0.1f} ms, fine match "
-          f"{fine_ms:0.1f} ms ({fine_flops/1e9:0.1f} GFLOP → {fine_mfu:0.2f}% "
-          f"MFU of {PEAK_TFLOPS:0.0f} TFLOP/s peak)", flush=True)
-
-    # Roofline accounting from the compiled executables themselves (XLA
-    # post-fusion FLOPs + HBM traffic vs the chip's two walls): says not
-    # just how fast each stage is, but how fast it COULD be and which
-    # resource binds it.
-    fine_roof_pct, fine_bound = _roofline(fm_flops, fm_bytes, fine_ms)
-    tr_roof_pct, tr_bound = _roofline(tr_flops, tr_bytes, tr_ms)
-    for name, fl, by, ms, pct, bound in (
-            ("text+retrieval", tr_flops, tr_bytes, tr_ms, tr_roof_pct,
-             tr_bound),
-            ("fine match", fm_flops, fm_bytes, fine_ms, fine_roof_pct,
-             fine_bound)):
-        if pct is not None:
-            print(f"# roofline[{name}]: {fl/1e9:0.1f} GFLOP, "
-                  f"{by/1e9:0.2f} GB HBM → {bound}-bound, {pct:0.1f}% of "
-                  f"roofline at {ms:0.1f} ms", flush=True)
-
-    # ------------------------------------------------------------------
-    # Reference-style execution: per-query host loop (same models, same
-    # chip, the reference's batching pattern).
-    # ------------------------------------------------------------------
-    tokens, lengths = loader.all_query_tokens()
-    B = pipe.coarse.cfg.batch_size
-    cell_enc_np = np.asarray(cell_enc)
-
-    def one_query(qi):
-        tk = np.zeros((B, tokens.shape[1]), tokens.dtype)
-        ln = np.ones(B, lengths.dtype)
-        tk[0], ln[0] = tokens[qi], lengths[qi]
-        enc = np.asarray(pipe.coarse.encode_text_step(
-            pipe.coarse_state, jnp.asarray(tk), jnp.asarray(ln)))[0]
-        scores = cell_enc_np @ enc                       # host matmul
-        order = np.argsort(-scores)[:TOP_K]              # host argsort
-        pipe.run_fine(loader, [poses[qi]], order[None], vocab, chunk=1,
-                      use_cache=False)                    # re-encode per query
-    one_query(0)  # compile the chunk=1 path
-    t0 = time.time()
-    for qi in range(BASELINE_QUERIES):
-        one_query(qi)
-    ref_elapsed = time.time() - t0
-    ref_qps = BASELINE_QUERIES / ref_elapsed
-    print(f"# reference-style loop: {BASELINE_QUERIES} queries in "
-          f"{ref_elapsed:0.3f}s → {ref_qps:0.1f} q/s", flush=True)
-
-    print(json.dumps({
-        "metric": "localization_queries_per_sec",
-        "value": round(qps, 2),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / ref_qps, 2),
-        "db_cells": int(bank.num_cells),
-        "queries": len(poses),
-        "trained_weights": trained,
-        "bn_mode": "calibrated" if CALIBRATE else "batch_stats",
-        "top10_at_15m": round(float(acc10_15), 4),
-        "top1_at_15m": round(float(accs[1][15]), 4),
-        "bracket_coarse_random": round(float(acc_random), 4),
-        "bracket_fine_oracle": round(float(acc_oracle), 4),
-        "device_ms_text_retrieval": round(tr_ms, 1),
-        "device_ms_fine_match": round(fine_ms, 1),
-        "fine_mfu_pct": round(fine_mfu, 2),
-        "serve_gflops": (round(serve_flops / 1e9, 1) if serve_flops else None),
-        "serve_hbm_gb": (round(serve_bytes / 1e9, 2) if serve_bytes else None),
-        "fine_roofline_pct": fine_roof_pct,
-        "fine_bound": fine_bound,
-        "text_retrieval_roofline_pct": tr_roof_pct,
-        "text_retrieval_bound": tr_bound,
-        **rerank_fields,
-    }), flush=True)
+        })
+        print(json.dumps(record), flush=True)
+    elif RERANK_K > TOP_K:
+        print(f"# rerank: skipped ({_remaining():0.0f}s budget left)",
+              flush=True)
 
 
 if __name__ == "__main__":

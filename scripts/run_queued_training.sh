@@ -29,6 +29,8 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   done
   echo "$(date -u +%H:%M:%S) attempt $attempt: starting training" >&2
   T2P_BENCH_INIT_TIMEOUT=${T2P_BENCH_INIT_TIMEOUT:-600} \
+  T2P_FUSED_VERBOSE=${T2P_FUSED_VERBOSE:-1} \
+  T2P_FUSED_SEG=${T2P_FUSED_SEG:-128} \
     python scripts/train_bench_ckpts.py --resume "${ARGS[@]}" && exit 0
   echo "$(date -u +%H:%M:%S) attempt $attempt failed (rc=$?); will resume" >&2
   sleep 60

@@ -33,6 +33,23 @@ VAL_SEED = 77
 
 
 def build_corpus(poses_per_cell: int, seeds, tag: str):
+    """Synthetic multi-scene corpus, cached on disk — the 48-scene build
+    takes ~3 min of host time and the outage-resilient wrapper restarts
+    this script after every relay drop, so rebuilding per attempt would
+    dominate the retry loop."""
+    import pickle
+
+    cache = (f"/tmp/t2p_corpus_{tag}_{seeds[0]}-{seeds[-1]}"
+             f"_ppc{poses_per_cell}.pkl")
+    if os.path.isfile(cache):
+        try:
+            with open(cache, "rb") as f:
+                cells, poses = pickle.load(f)
+            print(f"corpus cache hit: {cache}", flush=True)
+            return cells, poses
+        except Exception:
+            pass
+
     from text2pos_tpu.data.synthetic import make_synthetic_dataset
 
     cells, poses = [], []
@@ -43,6 +60,12 @@ def build_corpus(poses_per_cell: int, seeds, tag: str):
             objects_per_cell_area=12)
         cells += c
         poses += p
+    try:
+        with open(cache + ".tmp", "wb") as f:
+            pickle.dump((cells, poses), f)
+        os.replace(cache + ".tmp", cache)
+    except Exception:
+        pass
     return cells, poses
 
 

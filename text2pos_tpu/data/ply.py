@@ -72,8 +72,10 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
             else:
                 rows = np.loadtxt(
                     [f.readline() for _ in range(count)], ndmin=2)
-                data = np.core.records.fromarrays(
-                    rows.T, dtype=np.dtype([(p, d) for p, d in props]))
+                dt = np.dtype([(p, d) for p, d in props])
+                data = np.zeros(count, dt)
+                for (p, d), col in zip(props, rows.T):
+                    data[p] = col.astype(d)
             if name == "vertex":
                 for p, _ in props:
                     out[p] = np.ascontiguousarray(data[p])

@@ -345,6 +345,14 @@ def train(cfg: TrainConfig, cells_train, poses_train, cells_val, poses_val,
         else:
             state, loss = trainer.train_epoch(state, loader_train, epoch, rng)
         history["train_loss"].append(loss)
+        if cfg.resume_path:
+            # Rolling resume state EVERY epoch (host-side, ~28 MB): a
+            # crash-looping relay must never cost more than one epoch
+            # (round-4 lesson — eval-point-only saves lost whole runs).
+            from text2pos_tpu.train.state import save_resume_checkpoint
+
+            save_resume_checkpoint(cfg.resume_path, state, epoch,
+                                   best_acc, best_path)
         if epoch % cfg.eval_every and epoch != cfg.epochs:
             log(f"epoch {epoch} loss {loss:0.3f} ({time.time()-t0:0.1f}s)")
             continue

@@ -13,6 +13,8 @@ pose indices gathering its batches from HBM.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Dict, Tuple
 
 import jax
@@ -103,7 +105,26 @@ class FusedFineTrainer(FineTrainer):
             return state, float("nan")
         order = np.random.default_rng(
             self.cfg.seed * 10_000 + epoch).permutation(self.num_poses)
-        epoch_idx = jnp.asarray(order[: steps * B].reshape(steps, B), jnp.int32)
-        state, loss = self._fused_epoch(state, self.dev, epoch_idx,
-                                        jax.random.fold_in(rng, epoch))
-        return state, float(loss)
+        step_idx = order[: steps * B].reshape(steps, B).astype(np.int32)
+
+        # Segmented dispatch — same rationale as FusedCoarseTrainer
+        # (bounds per-dispatch wall time; a relay drop costs one segment).
+        seg = int(os.environ.get("T2P_FUSED_SEG", "128"))
+        erng = jax.random.fold_in(rng, epoch)
+        if seg <= 0 or steps <= seg:
+            state, loss = self._fused_epoch(state, self.dev,
+                                            jnp.asarray(step_idx), erng)
+            return state, float(loss)
+        verbose = os.environ.get("T2P_FUSED_VERBOSE") == "1"
+        losses = []
+        for i, s0 in enumerate(range(0, steps, seg)):
+            t0 = time.time()
+            state, loss = self._fused_epoch(
+                state, self.dev, jnp.asarray(step_idx[s0:s0 + seg]),
+                jax.random.fold_in(erng, i))
+            losses.append(float(loss))
+            if verbose:
+                print(f"    seg {i} steps {s0}..{min(s0+seg, steps)} "
+                      f"loss {losses[-1]:0.3f} ({time.time()-t0:0.1f}s)",
+                      flush=True)
+        return state, float(np.mean(losses))
