@@ -209,6 +209,88 @@ class TestServingCLI:
             assert isinstance(r["cell_id"], str)
             assert r["confidence"] >= 0
 
+    def test_malformed_lines_reported_not_fatal(self, server, tmp_path,
+                                                monkeypatch, capsys):
+        """Invalid JSON / missing hints / short queries must not take the
+        stream down: each bad line gets one {"id", "error"} result line,
+        good queries are still served, and the stderr stats line reports
+        the rejected count + latency percentiles."""
+        import io
+        import json
+        import pickle
+        import sys
+
+        from text2pos_tpu import serving
+
+        srv, cells, poses, (pc, pf, ecfg) = server
+        cells_path = str(tmp_path / "map.pkl")
+        with open(cells_path, "wb") as f:
+            pickle.dump(cells, f)
+
+        good = create_hint_description(poses[0])
+        lines = [
+            json.dumps({"hints": good, "id": "ok0"}),
+            "{not json",                                   # parse error
+            json.dumps({"id": "nohints"}),                 # missing hints
+            json.dumps({"hints": "a string", "id": "badtype"}),
+            json.dumps({"hints": good[:2], "id": "short"}),  # < num_mentioned
+            json.dumps({"hints": good, "id": "ok1"}),
+        ]
+        monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines)))
+
+        serving.main([
+            "--path_coarse", pc, "--path_fine", pf,
+            "--cells_pickle", cells_path, "--no_calibrate",
+            "--dtype", "float32", "--batch", "2", "--top_k", "3",
+            "--pad_size", str(ecfg.pad_size),
+            "--num_mentioned", str(ecfg.num_mentioned),
+            "--coarse_max_objects", str(ecfg.coarse_max_objects),
+            "--pointnet_numpoints", str(ecfg.pointnet_numpoints),
+            "--max_hint_len", str(ecfg.max_hint_len),
+            "--max_text_len", str(ecfg.max_text_len),
+        ])
+
+        captured = capsys.readouterr()
+        out = [json.loads(l) for l in captured.out.strip().splitlines()]
+        by_id = {r["id"]: r for r in out}
+        # Bad lines answered with errors (line 1 has no id → line number).
+        assert "invalid JSON" in by_id[1]["error"]
+        assert "hints" in by_id["nohints"]["error"]
+        assert "hints" in by_id["badtype"]["error"]
+        assert "--pad_short" in by_id["short"]["error"]
+        # Good queries still served, in order.
+        served = [r for r in out if "position" in r]
+        assert [r["id"] for r in served] == ["ok0", "ok1"]
+        # Self-measurement on stderr.
+        stats_line = next(l for l in captured.err.splitlines()
+                          if l.startswith("# stats "))
+        stats = json.loads(stats_line[len("# stats "):])
+        assert stats["queries"] == 2 and stats["rejected"] == 4
+        assert stats["p50_ms"] > 0 and stats["p99_ms"] >= stats["p50_ms"]
+        assert stats["warmup_ms"] > 0 and stats["qps"] > 0
+
+    def test_iter_query_batches_on_error_callback(self):
+        """Unit: the batcher routes every malformed line through on_error
+        (and raises a located ValueError without a callback)."""
+        import io
+        import json
+
+        import pytest as _pytest
+
+        from text2pos_tpu.serving import _iter_query_batches
+
+        lines = ["not json", json.dumps({"hints": []}),
+                 json.dumps(["a", "b"]), json.dumps({"hints": ["a", 3]})]
+        errs = []
+        got = list(_iter_query_batches(
+            io.StringIO("\n".join(lines)), 2,
+            on_error=lambda ln, qid, msg: errs.append((ln, qid)),
+            min_hints=3))
+        assert got == []            # nothing servable
+        assert [e[0] for e in errs] == [0, 1, 2, 3]
+        with _pytest.raises(ValueError, match="line 0"):
+            list(_iter_query_batches(io.StringIO("not json"), 2))
+
     def test_iter_query_batches_padding(self):
         """Final partial batch is padded to the static size and reports
         the real count; bare-array lines get line-number ids."""

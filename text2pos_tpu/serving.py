@@ -281,27 +281,55 @@ class LocalizationServer:
 # ----------------------------------------------------------------------
 # CLI: JSON-lines serving over stdin/stdout.
 # ----------------------------------------------------------------------
-def _iter_query_batches(stream, batch: int):
+def _iter_query_batches(stream, batch: int, on_error=None,
+                        min_hints: int = 0):
     """Group stdin JSON lines into fixed-size hint-list batches.
 
     Each line is either ``{"hints": [...], "id": ...}`` or a bare JSON
     array of hint strings. Yields ``(hint_lists, ids, real)`` with the
     final partial batch padded by repeating its last query (one static
-    batch shape → one compiled serving program)."""
+    batch shape → one compiled serving program).
+
+    Malformed lines (invalid JSON, missing/ill-typed ``hints``, or fewer
+    than ``min_hints`` hints) never take the stream down: with
+    ``on_error(lineno, id_or_None, message)`` they are reported and
+    skipped; without it a ``ValueError`` naming the line is raised."""
     import json
+
+    def _bad(lineno, qid, msg):
+        if on_error is None:
+            raise ValueError(f"stdin line {lineno}: {msg}")
+        on_error(lineno, qid, msg)
 
     buf, ids = [], []
     for lineno, line in enumerate(stream):
         line = line.strip()
         if not line:
             continue
-        rec = json.loads(line)
+        try:
+            rec = json.loads(line)
+        except ValueError as e:
+            _bad(lineno, None, f"invalid JSON: {e}")
+            continue
         if isinstance(rec, dict):
-            buf.append(rec["hints"])
-            ids.append(rec.get("id", lineno))
+            qid = rec.get("id", lineno)
+            hints = rec.get("hints")
         else:
-            buf.append(rec)
-            ids.append(lineno)
+            qid, hints = lineno, rec
+        if (not isinstance(hints, list) or not hints
+                or not all(isinstance(h, str) for h in hints)):
+            _bad(lineno, qid,
+                 "expected {\"hints\": [str, ...]} or a JSON array of "
+                 "hint strings")
+            continue
+        if len(hints) < min_hints:
+            _bad(lineno, qid,
+                 f"query has {len(hints)} hints, the model needs "
+                 f"{min_hints} (rerun with --pad_short to self-repeat "
+                 f"short queries)")
+            continue
+        buf.append(hints)
+        ids.append(qid)
         if len(buf) == batch:
             yield buf, ids, batch
             buf, ids = [], []
@@ -385,7 +413,23 @@ def main(argv=None):
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)
 
-    batches = _iter_query_batches(sys.stdin, args.batch)
+    import time
+
+    errors = 0
+
+    def on_error(lineno, qid, msg):
+        # One JSON line per rejected query (same stream as results, so a
+        # consumer keyed on "id" sees every input answered), plus a
+        # human-readable note on stderr. The stream keeps serving.
+        nonlocal errors
+        errors += 1
+        print(json.dumps({"id": lineno if qid is None else qid,
+                          "error": msg}), flush=True)
+        print(f"# line {lineno}: {msg}", file=sys.stderr, flush=True)
+
+    batches = _iter_query_batches(
+        sys.stdin, args.batch, on_error=on_error,
+        min_hints=0 if args.pad_short else args.num_mentioned)
     metas = []          # (ids, real) per in-flight batch, FIFO
 
     def gen():
@@ -393,6 +437,8 @@ def main(argv=None):
             metas.append((ids, real))
             yield hint_lists
 
+    served, latencies_ms = 0, []
+    t_start = t_batch = time.time()
     for out in server.localize_stream(gen(), pad_short_queries=args.pad_short):
         ids, real = metas.pop(0)
         for q in range(real):
@@ -402,6 +448,33 @@ def main(argv=None):
                 "cell_id": str(out["cell_ids"][q]),
                 "confidence": int(out["confidences"][q][0]),
             }), flush=True)
+        now = time.time()
+        latencies_ms.append((now - t_batch) * 1e3)
+        t_batch = now
+        served += real
+
+    # Self-measurement (stderr): per-batch latency percentiles over the
+    # pipelined steady state — the first batch carries compilation and is
+    # reported separately as warmup. The reference has no serving CLI at
+    # all; one that claims production shape must measure itself.
+    if latencies_ms:
+        import numpy as _np
+
+        steady = latencies_ms[1:] if len(latencies_ms) > 1 else latencies_ms
+        p50, p90, p99 = _np.percentile(steady, (50, 90, 99))
+        print("# stats " + json.dumps({
+            "queries": served,
+            "rejected": errors,
+            "batches": len(latencies_ms),
+            "warmup_ms": round(latencies_ms[0], 1),
+            "p50_ms": round(float(p50), 1),
+            "p90_ms": round(float(p90), 1),
+            "p99_ms": round(float(p99), 1),
+            "qps": round(served / max(time.time() - t_start, 1e-9), 1),
+        }), file=sys.stderr, flush=True)
+    elif errors:
+        print(f"# stats: no servable queries ({errors} rejected)",
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
