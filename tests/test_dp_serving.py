@@ -77,6 +77,58 @@ def serving_setup(synthetic_data):
     return serving, fine_bank, cell_enc, tokens, lengths, htk, hln
 
 
+def _pad_db(cell_enc, fine_bank, d):
+    """Zero-pad the DB arrays to a multiple of d cells."""
+    C = cell_enc.shape[0]
+    pad = (-C) % d
+    if pad == 0:
+        return cell_enc, fine_bank
+    z = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+    return z(cell_enc), (z(fine_bank[0]), z(fine_bank[1]))
+
+
+class TestDBShardedServing:
+    """dp_serve_batch_dbsharded: queries AND the map sharded over the
+    mesh (two ICI ring passes — rotating retrieval, rotating fine-bank
+    gather). Must reproduce single-device serve_batch exactly."""
+
+    @pytest.mark.parametrize("rerank_k", [0, 5])
+    def test_ring_sharded_equals_single_device(self, serving_setup,
+                                               rerank_k):
+        from text2pos_tpu.parallel.dp import dp_serve_batch_dbsharded
+
+        serving, fine_bank, cell_enc, tokens, lengths, htk, hln = \
+            serving_setup
+        k = 3
+        args = (jnp.asarray(tokens), jnp.asarray(lengths),
+                jnp.asarray(htk), jnp.asarray(hln))
+
+        single = serving.serve_batch(serving.coarse_state,
+                                     serving.fine_state, *args, cell_enc, k,
+                                     fine_bank[0], fine_bank[1], rerank_k)
+
+        mesh = make_mesh(D)
+        C = cell_enc.shape[0]
+        ce_p, fb_p = _pad_db(cell_enc, fine_bank, D)
+        serve = dp_serve_batch_dbsharded(serving, mesh, k, rerank_k,
+                                         num_real_cells=C)
+        sharded = serve(serving.coarse_state, serving.fine_state, ce_p,
+                        fb_p[0], fb_p[1], *args)
+
+        for s, d, name in zip(single, sharded,
+                              ("top_idx", "pos_mean", "pos_offsets",
+                               "confidences")):
+            s, d = np.asarray(s), np.asarray(d)
+            assert s.shape == d.shape, name
+            if s.dtype.kind in "iub":
+                np.testing.assert_array_equal(d, s, err_msg=name)
+            else:
+                np.testing.assert_allclose(d, s, atol=1e-5, err_msg=name)
+        # Padding dummies must never be retrieved.
+        assert np.asarray(sharded[0]).max() < C
+
+
 class TestDPServing:
     def test_sharded_equals_single_device(self, serving_setup):
         serving, fine_bank, cell_enc, tokens, lengths, htk, hln = \

@@ -140,6 +140,27 @@ class TestDataParallelServer:
         np.testing.assert_allclose(sharded["positions"],
                                    single["positions"], atol=1e-5)
 
+    def test_dbsharded_server_matches_single_device(self, server):
+        """--shard_db serving (queries AND the map ring-sharded over the
+        mesh, including zero-padding the map to a mesh multiple) returns
+        the single-device results exactly."""
+        from text2pos_tpu.serving import LocalizationServer
+
+        srv, cells, poses, (pc, pf, ecfg) = server
+        dsrv = LocalizationServer(pc, pf, cells, cfg=ecfg, top_k=3,
+                                  dtype=None, data_parallel=4,
+                                  shard_db=True)
+        # The map must have been padded to a multiple of the mesh size.
+        assert dsrv.cell_enc.shape[0] % 4 == 0
+        queries = [create_hint_description(p) for p in poses[:4]]
+        single = srv.localize(queries)
+        sharded = dsrv.localize(queries)
+        np.testing.assert_array_equal(sharded["top_cells"],
+                                      single["top_cells"])
+        np.testing.assert_allclose(sharded["positions"],
+                                   single["positions"], atol=1e-5)
+        assert sharded["top_cells"].max() < srv.bank.num_cells
+
 
 class TestLocalizeStream:
     def test_stream_matches_per_batch_localize(self, server):

@@ -488,23 +488,40 @@ class LocalizationPipeline:
                      "batch_stats": fine_state.batch_stats}
         model = self.fine.model
 
+        flat_idx = top_idx.reshape(B * K)
+        obj_enc = obj_enc_bank[flat_idx].reshape(
+            B, K, *obj_enc_bank.shape[1:])                # [B, K, pad, E]
+        centers_xy = centers_xy_bank[flat_idx].reshape(
+            B, K, *centers_xy_bank.shape[1:])             # [B, K, pad, 2]
+        return self._match_gathered(fine_state, obj_enc, centers_xy,
+                                    hint_tokens, hint_lengths)
+
+    def _match_gathered(self, fine_state: TrainState, obj_enc: jnp.ndarray,
+                        centers_xy: jnp.ndarray, hint_tokens: jnp.ndarray,
+                        hint_lengths: jnp.ndarray):
+        """Fine matching when the candidates' encodings are ALREADY
+        gathered: obj_enc [B, K, pad, E], centers_xy [B, K, pad, 2].
+        Core shared by the bank-indexed path above and the DB-sharded
+        serving mode (parallel/dp.dp_serve_batch with shard_db), whose
+        ring gather materializes per-candidate encodings directly."""
+        B, K = obj_enc.shape[:2]
+        variables = {"params": fine_state.params,
+                     "batch_stats": fine_state.batch_stats}
+        model = self.fine.model
+
         hint_enc = model.apply(variables, hint_tokens, hint_lengths,
                                method=type(model).encode_hints)  # [B, H, E]
         H = hint_enc.shape[1]
-
-        flat_idx = top_idx.reshape(B * K)
-        obj_enc = obj_enc_bank[flat_idx]                  # [B·K, pad, E]
-        centers_xy = centers_xy_bank[flat_idx]            # [B·K, pad, 2]
         hint_rep = jnp.repeat(hint_enc, K, axis=0)        # [B·K, H, E]
 
-        out = model.apply(variables, obj_enc, hint_rep, train=False,
+        pad = obj_enc.shape[2]
+        out = model.apply(variables, obj_enc.reshape(B * K, pad, -1),
+                          hint_rep, train=False,
                           method=type(model).match_encoded)
 
-        pad = obj_enc.shape[1]
         matches0 = out["matches0"].reshape(B, K, pad)
         mscores0 = out["matching_scores0"].reshape(B, K, pad)
         offsets = out["offsets"].reshape(B, K, H, 2)
-        centers_xy = centers_xy.reshape(B, K, pad, 2)
         pos_mean = get_pos_in_cell(centers_xy, matches0,
                                    jnp.zeros_like(offsets))
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
@@ -679,6 +696,16 @@ class LocalizationPipeline:
         _, pos_mean, pos_offsets, confidences, conf_scores = match(
             fine_state, obj_enc_bank, centers_xy_bank, top_idx,
             hint_tokens, hint_lengths)
+        return self._compact_results(top_idx, pos_mean, pos_offsets,
+                                     confidences, conf_scores, top_k,
+                                     rerank_k, cell_enc.shape[0])
+
+    @staticmethod
+    def _compact_results(top_idx, pos_mean, pos_offsets, confidences,
+                         conf_scores, top_k: int, rerank_k: int,
+                         num_cells: int):
+        """Re-rank (when enabled) + compact wire types — the tail shared
+        by serve_batch and the DB-sharded serving mode."""
         if rerank_k > top_k:
             order = jnp.argsort(-conf_scores, axis=1,
                                 stable=True)[:, :top_k]
@@ -692,7 +719,7 @@ class LocalizationPipeline:
         # f16 in-cell positions (resolution 2⁻¹¹ of a cell ≈ 1.5 cm at
         # 30 m cells) and u8 match counts carry the same information in a
         # third of the bytes.
-        if cell_enc.shape[0] < 2 ** 15:  # int16-addressable DB
+        if num_cells < 2 ** 15:  # int16-addressable DB
             top_idx = top_idx.astype(jnp.int16)
         return (top_idx, pos_mean.astype(jnp.float16),
                 pos_offsets.astype(jnp.float16),

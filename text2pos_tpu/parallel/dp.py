@@ -263,6 +263,123 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0):
     return serve
 
 
+def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
+                             rerank_k: int = 0,
+                             num_real_cells: Optional[int] = None):
+    """Serving with BOTH queries and the map sharded over the mesh — for
+    city-scale DBs larger than one chip's HBM (the replicated-DB
+    ``dp_serve_batch`` above is preferable whenever the map fits).
+
+    Layout: queries split over ``dp``; the coarse cell encodings [C, E]
+    and the fine bank ([C, pad, E], [C, pad, 2]) sharded over the same
+    axis. Two ring passes over ICI (``lax.ppermute``), the distributed-
+    MIPS pattern:
+
+     1. **ring retrieval** — DB shards rotate around the ring; each
+        device scores its local queries against the visiting shard on
+        the MXU and keeps a running top-k_all (scores + global indices).
+        Only [q_local, C/D] scores ever exist at once.
+     2. **ring gather** — fine-bank shards rotate; each device picks out
+        the encodings of its winning candidates as their home shard
+        passes by (masked clamp-gather, no host indices).
+
+    The fine matcher then runs purely locally on [q_local · k_all]
+    pose-cell pairs — the same total fine compute as the replicated-DB
+    mode, balanced across the mesh. Requires a CALIBRATED pipeline
+    (frozen BN statistics) like dp_serve_batch, for the same reason.
+
+    Returns ``serve(cstate, fstate, cell_enc, bank0, bank1, tokens,
+    lengths, hint_tokens, hint_lengths)`` over GLOBAL arrays; query
+    count and cell count must divide the mesh size. Pad the DB arrays
+    with zero rows and pass the true count as ``num_real_cells`` — the
+    dummies are masked to -inf by global index and can never win.
+    """
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    coarse_model = pipe.coarse.model
+    k_all = rerank_k if rerank_k > top_k else top_k
+
+    def per_device(cstate, fstate, cell_enc_l, bank0_l, bank1_l,
+                   tokens_l, lengths_l, hint_tokens_l, hint_lengths_l,
+                   num_cells: int):
+        q = tokens_l.shape[0]
+        Cs = cell_enc_l.shape[0]
+        text_enc = coarse_model.apply(
+            {"params": cstate.params, "batch_stats": cstate.batch_stats},
+            tokens_l, lengths_l, method=type(coarse_model).encode_text)
+
+        d0 = jax.lax.axis_index(axis).astype(jnp.int32)
+        perm_fwd = [(i, (i + 1) % D) for i in range(D)]
+        k_loc = min(k_all, num_cells)
+
+        # ---- ring pass 1: rotating retrieval with running top-k ----
+        def ret_step(carry, _):
+            best_v, best_i, cells, src = carry
+            scores = jnp.einsum("qe,ce->qc", text_enc, cells,
+                                preferred_element_type=jnp.float32)
+            gidx = src * Cs + jnp.arange(Cs, dtype=jnp.int32)
+            scores = jnp.where(gidx[None, :] < num_cells, scores, -jnp.inf)
+            cat_v = jnp.concatenate([best_v, scores], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(gidx[None, :], (q, Cs))], axis=1)
+            best_v, sel = jax.lax.top_k(cat_v, k_loc)
+            best_i = jnp.take_along_axis(cat_i, sel, axis=1)
+            cells = jax.lax.ppermute(cells, axis, perm_fwd)
+            return (best_v, best_i, cells, (src + D - 1) % D), None
+
+        init = (jnp.full((q, k_loc), -jnp.inf, jnp.float32),
+                jnp.zeros((q, k_loc), jnp.int32), cell_enc_l, d0)
+        (_, top_idx, _, _), _ = jax.lax.scan(ret_step, init, None, length=D)
+
+        # ---- ring pass 2: gather the winners' fine-bank entries ----
+        def gather_step(carry, _):
+            g0, g1, b0, b1, src = carry
+            loc = top_idx - src * Cs                       # [q, k]
+            inside = (loc >= 0) & (loc < Cs)
+            locc = jnp.clip(loc, 0, Cs - 1)
+            g0 = jnp.where(inside[..., None, None], b0[locc], g0)
+            g1 = jnp.where(inside[..., None, None], b1[locc], g1)
+            b0 = jax.lax.ppermute(b0, axis, perm_fwd)
+            b1 = jax.lax.ppermute(b1, axis, perm_fwd)
+            return (g0, g1, b0, b1, (src + D - 1) % D), None
+
+        init = (jnp.zeros((q, k_loc) + bank0_l.shape[1:], bank0_l.dtype),
+                jnp.zeros((q, k_loc) + bank1_l.shape[1:], bank1_l.dtype),
+                bank0_l, bank1_l, d0)
+        (obj_enc, centers_xy, _, _, _), _ = jax.lax.scan(
+            gather_step, init, None, length=D)
+
+        # ---- local fine matching + shared rerank/compact tail ----
+        _, pos_mean, pos_offsets, confidences, conf_scores = (
+            pipe._match_gathered(fstate, obj_enc, centers_xy,
+                                 hint_tokens_l, hint_lengths_l))
+        return pipe._compact_results(
+            top_idx, pos_mean, pos_offsets, confidences, conf_scores,
+            min(top_k, num_cells), rerank_k if k_loc > top_k else 0,
+            num_cells)
+
+    @jax.jit
+    def serve(cstate, fstate, cell_enc, bank0, bank1,
+              tokens, lengths, hint_tokens, hint_lengths):
+        C = cell_enc.shape[0]
+        assert C % D == 0, f"pad the DB to a multiple of {D} cells ({C})"
+        C_real = num_real_cells or C
+        assert C_real <= C
+        body = shard_map(
+            lambda cs, fs, ce, b0, b1, tk, ln, htk, hln: per_device(
+                cs, fs, ce, b0, b1, tk, ln, htk, hln, C_real),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_rep=False,
+        )
+        return body(cstate, fstate, cell_enc, bank0, bank1,
+                    tokens, lengths, hint_tokens, hint_lengths)
+
+    return serve
+
+
 def dp_encode_cells(trainer, mesh: Mesh, cells_per_device: int):
     """DP evaluation sharding: encode DB cells sharded over devices and
     all-gather the (small) [C, E] embedding matrix (SURVEY.md §2.3).

@@ -40,7 +40,8 @@ class LocalizationServer:
                  cfg: Optional[EvalConfig] = None, top_k: int = 10,
                  dtype: Optional[str] = "bfloat16", calibrate: bool = True,
                  calibration_hints: Optional[Sequence[Sequence[str]]] = None,
-                 data_parallel: int = 1, rerank_k: int = 0):
+                 data_parallel: int = 1, rerank_k: int = 0,
+                 shard_db: bool = False):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
@@ -63,6 +64,12 @@ class LocalizationServer:
                 (1-D dp mesh; requires ``calibrate`` — batch-statistics
                 serving is not shard-invariant — and query batches
                 divisible by the device count).
+            shard_db: with ``data_parallel > 1``, also shard the MAP over
+                the mesh (ring-rotated retrieval + fine-bank gather,
+                ``parallel.dp.dp_serve_batch_dbsharded``) — for
+                city-scale maps larger than one chip's HBM. Per-device
+                memory for the DB drops by the mesh size; results are
+                bit-identical to the replicated-DB mode.
         """
         from text2pos_tpu.data.dense import build_cell_bank
         from text2pos_tpu.evaluation.pipeline import (
@@ -110,13 +117,31 @@ class LocalizationServer:
                 raise ValueError("data_parallel serving requires calibrate="
                                  "True (batch-statistics BN is not "
                                  "shard-invariant)")
-            from text2pos_tpu.parallel.dp import dp_serve_batch, make_mesh
+            from text2pos_tpu.parallel.dp import (dp_serve_batch,
+                                                  dp_serve_batch_dbsharded,
+                                                  make_mesh)
 
             self._dp = data_parallel
-            self._dp_serve = dp_serve_batch(
-                pipe, make_mesh(data_parallel),
-                min(top_k, self.bank.num_cells),
-                min(rerank_k, self.bank.num_cells))
+            k = min(top_k, self.bank.num_cells)
+            rk = min(rerank_k, self.bank.num_cells)
+            if shard_db:
+                # Zero-pad the DB arrays to a multiple of the mesh size;
+                # the serve program masks the dummies to -inf by global
+                # index, so they can never be retrieved.
+                C = self.cell_enc.shape[0]
+                padn = (-C) % data_parallel
+                if padn:
+                    z = lambda a: jnp.concatenate(
+                        [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)])
+                    self.cell_enc = z(self.cell_enc)
+                    self.fine_bank = (z(self.fine_bank[0]),
+                                      z(self.fine_bank[1]))
+                self._dp_serve = dp_serve_batch_dbsharded(
+                    pipe, make_mesh(data_parallel), k, rk,
+                    num_real_cells=C)
+            else:
+                self._dp_serve = dp_serve_batch(
+                    pipe, make_mesh(data_parallel), k, rk)
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -376,6 +401,10 @@ def main(argv=None):
                          "rejecting them")
     ap.add_argument("--no_calibrate", action="store_true")
     ap.add_argument("--data_parallel", type=int, default=1)
+    ap.add_argument("--shard_db", action="store_true",
+                    help="with --data_parallel N: shard the map over the "
+                         "mesh too (ring retrieval + gather) — for maps "
+                         "larger than one chip's HBM")
     # Protocol overrides (defaults = the reference evaluation protocol);
     # model dims (embed/layers/Sinkhorn) come from the checkpoints.
     proto = EvalConfig()
@@ -409,7 +438,7 @@ def main(argv=None):
         args.path_coarse, args.path_fine, cells, cfg=cfg, top_k=args.top_k,
         dtype=None if args.dtype == "float32" else args.dtype,
         calibrate=not args.no_calibrate, data_parallel=args.data_parallel,
-        rerank_k=args.rerank_k)
+        rerank_k=args.rerank_k, shard_db=args.shard_db)
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)
 
