@@ -54,21 +54,25 @@ def main():
     d1s = [jnp.asarray(f(N, 6, E), jnp.bfloat16) for _ in range(args.iters + 1)]
     jax.block_until_ready((d0s, d1s))
 
-    for G in args.pairs:
-        fn = jax.jit(lambda a, b, G=G: gnn_scores_pallas(
-            a, b, folded, args.layers, pairs_per_program=G,
-            dtype=jnp.bfloat16))
-        try:
-            out = fn(d0s[-1], d1s[-1])
-            jax.block_until_ready(out)
-        except Exception as e:  # noqa: BLE001
-            print(f"G={G:3d}: FAILED {type(e).__name__}: {e}", flush=True)
-            continue
-        t0 = time.time()
-        outs = [fn(a, b) for a, b in zip(d0s[: args.iters], d1s[: args.iters])]
-        jax.block_until_ready(outs)
-        ms = (time.time() - t0) / args.iters * 1e3
-        print(f"G={G:3d}: {ms:7.1f} ms   (N={N}, E={E}, 2L={L})", flush=True)
+    for compact in (False, True):
+        for G in args.pairs:
+            fn = jax.jit(lambda a, b, G=G, c=compact: gnn_scores_pallas(
+                a, b, folded, args.layers, pairs_per_program=G,
+                dtype=jnp.bfloat16, compact_softmax=c))
+            try:
+                out = fn(d0s[-1], d1s[-1])
+                jax.block_until_ready(out)
+            except Exception as e:  # noqa: BLE001
+                print(f"G={G:3d} compact={int(compact)}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+                continue
+            t0 = time.time()
+            outs = [fn(a, b)
+                    for a, b in zip(d0s[: args.iters], d1s[: args.iters])]
+            jax.block_until_ready(outs)
+            ms = (time.time() - t0) / args.iters * 1e3
+            print(f"G={G:3d} compact={int(compact)}: {ms:7.1f} ms   "
+                  f"(N={N}, E={E}, 2L={L})", flush=True)
 
 
 if __name__ == "__main__":

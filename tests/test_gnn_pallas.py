@@ -81,7 +81,8 @@ class TestFusedGNNScores:
                             preferred_element_type=jnp.float32)
         return out, np.asarray(scores) / np.sqrt(E)
 
-    def test_f32_interpret_matches_xla(self, model_and_params):
+    @pytest.mark.parametrize("compact", [False, True])
+    def test_f32_interpret_matches_xla(self, model_and_params, compact):
         model, params, stats = model_and_params
         rng = jax.random.PRNGKey(7)
         N = 5   # deliberately not a multiple of block_n → padding path
@@ -94,9 +95,29 @@ class TestFusedGNNScores:
                                  {"superglue": stats}, NUM_LAYERS)
         got = gnn_scores_pallas(d0, d1, folded, NUM_LAYERS,
                                 pairs_per_program=4, dtype=jnp.float32,
-                                interpret=True)
+                                compact_softmax=compact, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want,
                                    atol=2e-4, rtol=2e-4)
+
+    def test_compact_softmax_equals_full_form(self, model_and_params):
+        """The [R, T]-domain softmax (pick/spread via 0/1 matmuls) must
+        reproduce the full [R, R] form exactly in f32 — masked entries
+        are exact zeros picked injectively, not approximations."""
+        model, params, stats = model_and_params
+        rng = jax.random.PRNGKey(23)
+        d0 = jax.random.normal(rng, (6, T0, E), jnp.float32)
+        d1 = jax.random.normal(jax.random.fold_in(rng, 1), (6, T1, E),
+                               jnp.float32)
+        folded = fold_gnn_params({"superglue": params},
+                                 {"superglue": stats}, NUM_LAYERS)
+        full = gnn_scores_pallas(d0, d1, folded, NUM_LAYERS,
+                                 pairs_per_program=4, dtype=jnp.float32,
+                                 compact_softmax=False, interpret=True)
+        comp = gnn_scores_pallas(d0, d1, folded, NUM_LAYERS,
+                                 pairs_per_program=4, dtype=jnp.float32,
+                                 compact_softmax=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(comp), np.asarray(full),
+                                   atol=1e-5, rtol=1e-5)
 
     def test_log_p_end_to_end(self, model_and_params):
         """Kernel scores + dustbin + Sinkhorn must reproduce the model's

@@ -103,7 +103,7 @@ PARAM_ORDER = ("wq", "bq", "wk", "bk", "wv", "bv", "wm", "bm",
 def _gnn_kernel(d0_ref, d1_ref, wq, bq, wk, bk, wv, bv, wm, bm,
                 w0, s0, t0, w1, b1, wf, bf, scores_ref, *,
                 num_layers: int, heads: int, t0_pad: int, t1_real: int,
-                dtype: jnp.dtype):
+                dtype: jnp.dtype, compact_softmax: bool = False):
     """G pose-cell pairs per program, every tensor rank-2.
 
     Descriptors arrive flattened to [G·T, E] (pairs stacked along MXU
@@ -125,9 +125,10 @@ def _gnn_kernel(d0_ref, d1_ref, wq, bq, wk, bk, wv, bv, wm, bm,
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     same_pair = (rows // T) == (cols // T)
-    hint_col = (cols % T) < t1_real
-    bias_obj = jnp.where(same_pair, 0.0, NEG_INF)            # [R, R]
-    bias_hint = jnp.where(same_pair & hint_col, 0.0, NEG_INF)
+    if not compact_softmax:
+        hint_col = (cols % T) < t1_real
+        bias_obj = jnp.where(same_pair, 0.0, NEG_INF)        # [R, R]
+        bias_hint = jnp.where(same_pair & hint_col, 0.0, NEG_INF)
     row1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     hmask = ((row1 % T) < t1_real).astype(dtype)             # [R, 1]
 
@@ -139,6 +140,51 @@ def _gnn_kernel(d0_ref, d1_ref, wq, bq, wk, bk, wv, bv, wm, bm,
         if b is not None:
             y = y + b.astype(f32)
         return y
+
+    # Compact-softmax machinery: the expensive per-element work on the
+    # full [R, R] cross-pair matrix is cut to two passes (mask-multiply,
+    # expand-mask) by moving the softmax itself to the [R, T] per-pair
+    # domain. Pick/spread between the domains are MXU matmuls with the
+    # static 0/1 collapse matrix: rows of (sc · same_pair) have nonzeros
+    # only in their own pair's T columns, each mapping to a distinct
+    # compact column, so Σ-collapse picks exactly; the expand spreads
+    # each compact column back to every c with c % T == t and the
+    # same_pair multiply re-zeroes other pairs' columns.
+    if compact_softmax:
+        same_pair_f = same_pair.astype(f32)                  # [R, R]
+        crow_c = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+        ccol_c = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        collapse_f = ((crow_c % T) == ccol_c).astype(f32)    # [R, T] pick
+        erow_c = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)
+        ecol_c = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
+        expand_f = ((ecol_c % T) == erow_c).astype(f32)      # [T, R] spread
+        ccol1 = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        cbias_obj = jnp.zeros((1, T), f32)
+        cbias_hint = jnp.where(ccol1 < t1_real, 0.0, NEG_INF)  # [1, T]
+    inv_sqrt_d = 1.0 / np.sqrt(D)
+
+    def attention_compact(x, src, i, key_cbias):
+        q = mm(x, wq[i], bq[i]).astype(dtype)                # [R, E]
+        k = mm(src, wk[i], bk[i]).astype(dtype)
+        v = mm(src, wv[i], bv[i]).astype(dtype)
+        msgs = []
+        for h in range(heads):
+            sl = slice(h * D, (h + 1) * D)
+            sc = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                  # [R, R]
+            sc = sc * same_pair_f                            # 1 full pass
+            sc_c = jnp.dot(sc, collapse_f,
+                           preferred_element_type=f32)       # [R, T] pick
+            sc_c = sc_c * inv_sqrt_d + key_cbias
+            pr_c = jax.nn.softmax(sc_c, axis=-1)             # [R, T] f32
+            pr = (jnp.dot(pr_c, expand_f,
+                          preferred_element_type=f32)
+                  * same_pair_f).astype(dtype)               # 2 full passes
+            msgs.append(jnp.dot(pr, v[:, sl],
+                                preferred_element_type=f32))  # [R, D]
+        msg = jnp.concatenate(msgs, axis=-1).astype(dtype)   # [R, E]
+        return mm(msg, wm[i], bm[i]).astype(dtype)
 
     def attention(x, src, i, key_bias):
         q = mm(x, wq[i], bq[i]).astype(dtype)                # [R, E]
@@ -170,10 +216,16 @@ def _gnn_kernel(d0_ref, d1_ref, wq, bq, wk, bk, wv, bv, wm, bm,
         cross = (i % 2) == 1
         src0 = jnp.where(cross, d1, d0)
         src1 = jnp.where(cross, d0, d1)
-        bias0 = jnp.where(cross, bias_hint, bias_obj)
-        bias1 = jnp.where(cross, bias_obj, bias_hint)
-        m0 = attention(d0, src0, i, bias0)
-        m1 = attention(d1, src1, i, bias1)
+        if compact_softmax:
+            cb0 = jnp.where(cross, cbias_hint, cbias_obj)
+            cb1 = jnp.where(cross, cbias_obj, cbias_hint)
+            m0 = attention_compact(d0, src0, i, cb0)
+            m1 = attention_compact(d1, src1, i, cb1)
+        else:
+            bias0 = jnp.where(cross, bias_hint, bias_obj)
+            bias1 = jnp.where(cross, bias_obj, bias_hint)
+            m0 = attention(d0, src0, i, bias0)
+            m1 = attention(d1, src1, i, bias1)
         d0 = d0 + mlp(d0, m0, 0, i).astype(dtype)
         d1 = (d1 + mlp(d1, m1, 1, i).astype(dtype)) * hmask
         return d0, d1
@@ -202,6 +254,7 @@ def gnn_scores_pallas(desc0: jnp.ndarray, desc1: jnp.ndarray,
                       folded: Dict[str, jnp.ndarray], num_layers: int,
                       heads: int = 4, pairs_per_program: int = 16,
                       dtype: jnp.dtype = jnp.bfloat16,
+                      compact_softmax: bool = False,
                       interpret: bool = False) -> jnp.ndarray:
     """Fused GNN + final projection + score matrix.
 
@@ -214,6 +267,13 @@ def gnn_scores_pallas(desc0: jnp.ndarray, desc1: jnp.ndarray,
         pairs_per_program: pairs stacked along the MXU row dim per grid
             step (R = pairs·T0 matmul rows; 16 → R=256)
         dtype: kernel compute dtype (matmul accumulation is always f32)
+        compact_softmax: softmax in the [R, T] per-pair domain instead of
+            the full [R, R] cross-pair matrix — pick/spread via static
+            0/1 MXU matmuls, cutting the per-head full-width VPU passes
+            from ~8 (bias add + R-wide softmax pipeline) to 2
+            (mask-multiply, expand-mask). Same math: masked entries are
+            exact zeros picked injectively, so results match the full
+            form bit-for-bit in f32.
 
     Returns: scores [N, T0, T1] float32 (pre-dustbin, pre-Sinkhorn).
     """
@@ -251,7 +311,8 @@ def gnn_scores_pallas(desc0: jnp.ndarray, desc1: jnp.ndarray,
     flops_core = 2 * 2 * T0 * (G * T0) * E * 2   # full cross-pair matrices
     out = pl.pallas_call(
         functools.partial(_gnn_kernel, num_layers=num_layers, heads=heads,
-                          t0_pad=T0, t1_real=T1, dtype=dtype),
+                          t0_pad=T0, t1_real=T1, dtype=dtype,
+                          compact_softmax=compact_softmax),
         grid=(Np // G,),
         in_specs=[
             pl.BlockSpec((R, E), lambda i: (i, 0),
