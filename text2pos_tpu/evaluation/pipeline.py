@@ -450,9 +450,11 @@ class LocalizationPipeline:
         # E=128, 12 blocks): G=4 120 ms, G=8 80 ms, G=16 86 ms, G=32
         # 83 ms, G=64 138 ms — all above XLA's 61 ms, hence opt-in.
         pairs = int(os.environ.get("T2P_FUSED_GNN_PAIRS", "8"))
+        compact = os.environ.get("T2P_FUSED_GNN_COMPACT", "1") == "1"
         scores = gnn_scores_pallas(obj_enc, hint_rep, self._gnn_folded,
                                    self.fine.cfg.num_layers, dtype=dt,
-                                   pairs_per_program=pairs)
+                                   pairs_per_program=pairs,
+                                   compact_softmax=compact)
         bin_score = fine_state.params["superglue"]["bin_score"]
         Z = log_optimal_transport(scores, bin_score,
                                   self.fine.cfg.sinkhorn_iters, impl="auto")
