@@ -378,6 +378,55 @@ class TestRerank:
                                    atol=1e-3)  # serve wire type is f16
         np.testing.assert_array_equal(np.asarray(got[3], np.int32), want_cf)
 
+    def test_serve_batch_rerank_lambda_blends_coarse_similarity(self, server):
+        """serve_batch(rerank_k, rerank_lambda=λ) reorders by
+        conf + λ·sim — verified against a manual recompute from the
+        unreranked building blocks; λ large enough must reproduce the
+        plain coarse order."""
+        import jax.numpy as jnp
+
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+
+        srv, cells, poses, _ = server
+        pipe = srv.pipe
+        queries = [create_hint_description(p)[:srv.cfg.num_mentioned]
+                   for p in poses[:4]]
+        (tk, ln, htk, hln), _n = srv._prepare(queries, False)
+        top_k = 2
+        k_all = min(6, srv.bank.num_cells)
+        lam = 0.7
+
+        model = pipe.coarse.model
+        text_enc = model.apply(
+            {"params": pipe.coarse_state.params,
+             "batch_stats": pipe.coarse_state.batch_stats},
+            jnp.asarray(tk), jnp.asarray(ln), method=type(model).encode_text)
+        sims, wide = topk_retrieval(text_enc, srv.cell_enc, k_all)
+        _, _pm, _po, _cf, cs = pipe._match_chunk_cached(
+            pipe.fine_state, srv.fine_bank[0], srv.fine_bank[1],
+            wide, jnp.asarray(htk), jnp.asarray(hln))
+        score = np.asarray(cs, np.float32) + lam * np.asarray(sims,
+                                                              np.float32)
+        order = np.argsort(-score, axis=1, kind="stable")[:, :top_k]
+        rows = np.arange(len(queries))[:, None]
+        want_idx = np.asarray(wide)[rows, order]
+
+        got = pipe.serve_batch(
+            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+            srv.cell_enc, top_k, srv.fine_bank[0], srv.fine_bank[1],
+            k_all, lam)
+        np.testing.assert_array_equal(np.asarray(got[0], np.int64), want_idx)
+
+        # A dominating λ reduces re-ranking to the coarse order.
+        got_big = pipe.serve_batch(
+            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+            srv.cell_enc, top_k, srv.fine_bank[0], srv.fine_bank[1],
+            k_all, 1e6)
+        np.testing.assert_array_equal(np.asarray(got_big[0], np.int64),
+                                      np.asarray(wide)[:, :top_k])
+
     def test_server_rerank_candidates_from_wider_pool(self, server,
                                                       monkeypatch):
         """A rerank server returns top_k cells drawn from the coarse

@@ -660,13 +660,13 @@ class LocalizationPipeline:
     # ------------------------------------------------------------------
     # Single-program serving: the full query batch in one XLA program
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8, 11))
+    @functools.partial(jax.jit, static_argnums=(0, 8, 11, 12))
     def serve_batch(self, coarse_state: TrainState, fine_state: TrainState,
                     tokens: jnp.ndarray, lengths: jnp.ndarray,
                     hint_tokens: jnp.ndarray, hint_lengths: jnp.ndarray,
                     cell_enc: jnp.ndarray, top_k: int,
                     obj_enc_bank: jnp.ndarray, centers_xy_bank: jnp.ndarray,
-                    rerank_k: int = 0):
+                    rerank_k: int = 0, rerank_lambda: float = 0.0):
         """Localize a batch of queries end-to-end in ONE jitted program:
         LSTM text encode → top-k retrieval matmul → SuperGlue matching vs
         pre-encoded cells → in-cell positions. One host→device transfer of
@@ -678,8 +678,14 @@ class LocalizationPipeline:
         ``top_k`` are the highest by summed matched transport score
         (stable: coarse order breaks ties). Top-k recall is then bounded
         by coarse top-``rerank_k`` recall instead of top-``top_k``, at
-        ``rerank_k/top_k``× the fine-stage compute. No reference
-        equivalent; off by default.
+        ``rerank_k/top_k``× the fine-stage compute.
+
+        ``rerank_lambda > 0`` blends the coarse retrieval similarity into
+        the re-ranking score (``conf + lambda * sim``) — the match
+        confidence is a noisy per-cell signal at wide pools, and keeping
+        some weight on the retrieval score measurably helps
+        (scripts/sweep_rerank.py: +~1 pt top-10@15m at rerank_k=40,
+        lambda≈2–4). No reference equivalent; off by default.
 
         Returns only the compact serving outputs (top_idx, pos_mean,
         pos_offsets, confidences) — per-object match indices are ~70% of
@@ -691,7 +697,7 @@ class LocalizationPipeline:
              "batch_stats": coarse_state.batch_stats},
             tokens, lengths, method=type(self.coarse.model).encode_text)
         k_all = rerank_k if rerank_k > top_k else top_k
-        _, top_idx = topk_retrieval(text_enc, cell_enc, k_all)
+        sims, top_idx = topk_retrieval(text_enc, cell_enc, k_all)
 
         match = (self._match_chunk_fused if self._gnn_folded is not None
                  else self._match_chunk_cached)
@@ -700,17 +706,21 @@ class LocalizationPipeline:
             hint_tokens, hint_lengths)
         return self._compact_results(top_idx, pos_mean, pos_offsets,
                                      confidences, conf_scores, top_k,
-                                     rerank_k, cell_enc.shape[0])
+                                     rerank_k, cell_enc.shape[0],
+                                     sims=sims, rerank_lambda=rerank_lambda)
 
     @staticmethod
     def _compact_results(top_idx, pos_mean, pos_offsets, confidences,
                          conf_scores, top_k: int, rerank_k: int,
-                         num_cells: int):
+                         num_cells: int, sims=None,
+                         rerank_lambda: float = 0.0):
         """Re-rank (when enabled) + compact wire types — the tail shared
         by serve_batch and the DB-sharded serving mode."""
         if rerank_k > top_k:
-            order = jnp.argsort(-conf_scores, axis=1,
-                                stable=True)[:, :top_k]
+            score = conf_scores.astype(jnp.float32)
+            if sims is not None and rerank_lambda:
+                score = score + rerank_lambda * sims.astype(jnp.float32)
+            order = jnp.argsort(-score, axis=1, stable=True)[:, :top_k]
             top_idx = jnp.take_along_axis(top_idx, order, axis=1)
             pos_mean = jnp.take_along_axis(pos_mean, order[..., None], axis=1)
             pos_offsets = jnp.take_along_axis(pos_offsets, order[..., None],
@@ -753,7 +763,7 @@ def build_pipeline_from_checkpoints(cfg: EvalConfig, path_coarse: str,
     compute dtype of the restored model bodies (e.g. "bfloat16" serving).
     Returns (pipeline, coarse_vocab, fine_vocab).
     """
-    from text2pos_tpu.train.state import load_checkpoint, make_optimizer
+    from text2pos_tpu.train.state import load_checkpoint
 
     coarse_payload = load_checkpoint(path_coarse)
     fine_payload = load_checkpoint(path_fine)
@@ -786,11 +796,13 @@ def build_pipeline_from_checkpoints(cfg: EvalConfig, path_coarse: str,
 
     coarse = CoarseTrainer(ctrain_cfg, vocab)
     fine = FineTrainer(ftrain_cfg, fine_vocab)
-    tx = make_optimizer(1e-3)
-    cstate = TrainState.create(coarse_payload["params"],
-                               coarse_payload["batch_stats"], tx)
-    fstate = TrainState.create(fine_payload["params"],
-                               fine_payload["batch_stats"], tx)
+    # Optimizer-free eval states: a live optax tx in the (static) pytree
+    # metadata would make the serve programs unshareable across processes
+    # (bench.py's executable snapshots failed pytree matching on restore).
+    cstate = TrainState.create_eval(coarse_payload["params"],
+                                    coarse_payload["batch_stats"])
+    fstate = TrainState.create_eval(fine_payload["params"],
+                                    fine_payload["batch_stats"])
     mesh = None
     if getattr(cfg, "data_parallel", 1) > 1:
         from text2pos_tpu.parallel.dp import make_mesh

@@ -223,7 +223,8 @@ def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
     return np.concatenate(out)
 
 
-def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0):
+def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
+                   rerank_lambda: float = 0.0):
     """Shard end-to-end serving over the mesh: queries split across
     devices, the (small) retrieval DB and fine bank replicated. Serving is
     embarrassingly parallel — no collectives beyond the output gather.
@@ -244,7 +245,7 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0):
                    tokens, lengths, hint_tokens, hint_lengths):
         return pipe.serve_batch(cstate, fstate, tokens, lengths,
                                 hint_tokens, hint_lengths, cell_enc, top_k,
-                                bank0, bank1, rerank_k)
+                                bank0, bank1, rerank_k, rerank_lambda)
 
     sharded = shard_map(
         per_device, mesh=mesh,
@@ -265,7 +266,8 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0):
 
 def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
                              rerank_k: int = 0,
-                             num_real_cells: Optional[int] = None):
+                             num_real_cells: Optional[int] = None,
+                             rerank_lambda: float = 0.0):
     """Serving with BOTH queries and the map sharded over the mesh — for
     city-scale DBs larger than one chip's HBM (the replicated-DB
     ``dp_serve_batch`` above is preferable whenever the map fits).
@@ -329,7 +331,8 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
 
         init = (jnp.full((q, k_loc), -jnp.inf, jnp.float32),
                 jnp.zeros((q, k_loc), jnp.int32), cell_enc_l, d0)
-        (_, top_idx, _, _), _ = jax.lax.scan(ret_step, init, None, length=D)
+        (sims, top_idx, _, _), _ = jax.lax.scan(ret_step, init, None,
+                                                length=D)
 
         # ---- ring pass 2: gather the winners' fine-bank entries ----
         def gather_step(carry, _):
@@ -356,7 +359,7 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
         return pipe._compact_results(
             top_idx, pos_mean, pos_offsets, confidences, conf_scores,
             min(top_k, num_cells), rerank_k if k_loc > top_k else 0,
-            num_cells)
+            num_cells, sims=sims, rerank_lambda=rerank_lambda)
 
     @jax.jit
     def serve(cstate, fstate, cell_enc, bank0, bank1,

@@ -41,7 +41,7 @@ class LocalizationServer:
                  dtype: Optional[str] = "bfloat16", calibrate: bool = True,
                  calibration_hints: Optional[Sequence[Sequence[str]]] = None,
                  data_parallel: int = 1, rerank_k: int = 0,
-                 shard_db: bool = False):
+                 shard_db: bool = False, rerank_lambda: float = 0.0):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
@@ -52,6 +52,10 @@ class LocalizationServer:
                 fine-match all of them and return the top_k highest by
                 summed matched transport score (fine-confidence
                 re-ranking; ``rerank_k/top_k``× fine-stage compute).
+            rerank_lambda: blend weight of the coarse retrieval
+                similarity in the re-ranking score (``conf + λ·sim``);
+                λ≈2–4 measurably helps at wide pools
+                (scripts/sweep_rerank.py).
             dtype: serving compute dtype for the model bodies.
             calibrate: freeze fine-stage BN statistics on population data
                 and serve in true eval mode (recommended; False keeps the
@@ -78,6 +82,7 @@ class LocalizationServer:
         self.cfg = cfg or EvalConfig(top_k=(1, 5, top_k), threshs=(5, 10, 15))
         self.top_k = top_k
         self.rerank_k = rerank_k
+        self.rerank_lambda = float(rerank_lambda)
         pipe, vocab, _ = build_pipeline_from_checkpoints(
             self.cfg, path_coarse, path_fine, dtype=dtype)
         self.vocab = vocab
@@ -138,10 +143,11 @@ class LocalizationServer:
                                       z(self.fine_bank[1]))
                 self._dp_serve = dp_serve_batch_dbsharded(
                     pipe, make_mesh(data_parallel), k, rk,
-                    num_real_cells=C)
+                    num_real_cells=C, rerank_lambda=self.rerank_lambda)
             else:
                 self._dp_serve = dp_serve_batch(
-                    pipe, make_mesh(data_parallel), k, rk)
+                    pipe, make_mesh(data_parallel), k, rk,
+                    rerank_lambda=self.rerank_lambda)
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -240,7 +246,7 @@ class LocalizationServer:
             pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
             jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
             self.cell_enc, k, self.fine_bank[0], self.fine_bank[1],
-            min(self.rerank_k, self.bank.num_cells))
+            min(self.rerank_k, self.bank.num_cells), self.rerank_lambda)
 
     def localize(self, hint_lists: Sequence[Sequence[str]],
                  pad_short_queries: bool = False) -> Dict:
@@ -393,6 +399,10 @@ def main(argv=None):
                     help="fine-confidence re-ranking: retrieve this many "
                          "coarse candidates, fine-match all, return the "
                          "top_k best by match confidence (0 = off)")
+    ap.add_argument("--rerank_lambda", type=float, default=0.0,
+                    help="blend weight of the coarse similarity in the "
+                         "re-ranking score (conf + λ·sim); λ≈2–4 helps "
+                         "at wide pools")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=64)
@@ -438,7 +448,8 @@ def main(argv=None):
         args.path_coarse, args.path_fine, cells, cfg=cfg, top_k=args.top_k,
         dtype=None if args.dtype == "float32" else args.dtype,
         calibrate=not args.no_calibrate, data_parallel=args.data_parallel,
-        rerank_k=args.rerank_k, shard_db=args.shard_db)
+        rerank_k=args.rerank_k, shard_db=args.shard_db,
+        rerank_lambda=args.rerank_lambda)
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)
 

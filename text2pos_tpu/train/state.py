@@ -39,6 +39,24 @@ class TrainState(struct.PyTreeNode):
             tx=tx,
         )
 
+    @classmethod
+    def create_eval(cls, params, batch_stats):
+        """Optimizer-free state for serving/evaluation.
+
+        ``tx`` is static pytree metadata; a live optax transformation
+        embeds per-process closure objects in it, which makes jitted
+        programs (and AOT executable snapshots — bench.py) unshareable
+        across processes. Serving never applies gradients, so eval
+        states carry no optimizer at all.
+        """
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=None,
+            tx=None,
+        )
+
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
