@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=256,
                     help="queries per fine-matching dispatch")
     ap.add_argument("--top_k", type=int, default=10)
+    ap.add_argument("--save_banks", type=str, default="",
+                    help="npz path: dump per-(query,slot) signals (sims, "
+                         "match mass/count, per-slot world error) so scoring "
+                         "variants can be swept offline without a device")
     args = ap.parse_args()
 
     bench._require_backend(float(os.environ.get("T2P_BENCH_INIT_TIMEOUT",
@@ -103,6 +107,7 @@ def main() -> None:
 
     pos = np.zeros((Q, kmax, 2), np.float32)
     conf = np.zeros((Q, kmax), np.float32)
+    count = np.zeros((Q, kmax), np.int32)
     for i in range(0, Q, args.chunk):
         sl = slice(i, min(i + args.chunk, Q))
         real = sl.stop - sl.start
@@ -112,12 +117,30 @@ def main() -> None:
             idx = np.concatenate([idx, idx[:1].repeat(reps, 0)])
             htk = np.concatenate([htk, htk[:1].repeat(reps, 0)])
             hln = np.concatenate([hln, hln[:1].repeat(reps, 0)])
-        _, pm, po, _, cs = pipe._match_chunk_cached(
+        _, pm, po, cf, cs = pipe._match_chunk_cached(
             pipe.fine_state, fine_bank[0], fine_bank[1], jnp.asarray(idx),
             jnp.asarray(htk), jnp.asarray(hln))
         pos[sl] = np.asarray(po, np.float32)[:real]
         conf[sl] = np.asarray(cs, np.float32)[:real]
+        count[sl] = np.asarray(cf, np.int32)[:real]
     print("# matching pass done", flush=True)
+
+    if args.save_banks:
+        # Per-(query, slot) world-space localization error — with it, any
+        # re-ranking score can be evaluated offline: accuracy@thresh of a
+        # reordering = mean over queries of (min error over the chosen
+        # top-k slots <= thresh), cross-scene slots excluded via +inf.
+        pose_w_all = np.array([p.pose_w[0:2] for p in poses])
+        pose_scene = np.array([p.cell_id.split("_")[0] for p in poses])
+        cell_scene = np.array([cid.split("_")[0] for cid in bank.cell_ids])
+        lo_all = bank.bbox_w[wide][..., 0:2]
+        size_all = bank.cell_size[wide][..., None]
+        world = lo_all + pos * size_all
+        err = np.linalg.norm(world - pose_w_all[:, None, :], axis=-1)
+        err = np.where(cell_scene[wide] == pose_scene[:, None], err, np.inf)
+        np.savez_compressed(args.save_banks, wide=wide, sims=sims,
+                            conf=conf, count=count, err=err.astype(np.float32))
+        print(f"# banks saved to {args.save_banks}", flush=True)
 
     rows = np.arange(Q)[:, None]
 
