@@ -731,18 +731,22 @@ def run():
     # 0.694 if latency matters more).
     RERANK_K = int(os.environ.get("T2P_BENCH_RERANK", 100))
     RERANK_LAMBDA = float(os.environ.get("T2P_BENCH_RERANK_LAMBDA", 4.0))
+    # Spread penalty (scripts/rerank_score_lab.py): conf + lam*sim -
+    # gamma*spread, gamma=6 lifts top-10@15m 0.715 -> ~0.779 offline at
+    # K'=100-128 (top-1 0.385 -> 0.520); stable across split halves.
+    RERANK_GAMMA = float(os.environ.get("T2P_BENCH_RERANK_GAMMA", 6.0))
     if (RERANK_K > TOP_K and bank.num_cells >= RERANK_K
             and _remaining() > 180):
         t0 = time.time()
         rr_path = SERVE_EXEC_CACHE.replace(".pkl", f"_rr{RERANK_K}.pkl")
         rr_key = (f"{exec_key}|rerank{RERANK_K}|lam{RERANK_LAMBDA}"
-                  if exec_key else None)
+                  f"|gam{RERANK_GAMMA}" if exec_key else None)
 
         def _compile_rr():
             return type(pipe).serve_batch.lower(
                 pipe, pipe.coarse_state, pipe.fine_state, tk0, ln0, htk0,
                 hln0, cell_enc_dev, TOP_K, fine_bank[0], fine_bank[1],
-                RERANK_K, RERANK_LAMBDA).compile()
+                RERANK_K, RERANK_LAMBDA, RERANK_GAMMA).compile()
 
         rr_restored = _load_serve_exec(rr_key, rr_path)
         if rr_restored is None:
@@ -805,6 +809,7 @@ def run():
         record.update({
             "rerank_k": RERANK_K,
             "rerank_lambda": RERANK_LAMBDA,
+            "rerank_gamma": RERANK_GAMMA,
             "rerank_qps": round(rr_qps, 2),
             "rerank_top10_at_15m": round(float(accs_rr[TOP_K][15]), 4),
             "rerank_top1_at_15m": round(float(accs_rr[1][15]), 4),

@@ -85,6 +85,55 @@ def main() -> None:
                 if a > best["rrf"][0]:
                     best["rrf"] = (a, f"c={c:g},w={w:g}")
 
+        if "mass_h" in d:
+            mass_h, dustbin_h = d["mass_h"], d["dustbin_h"]
+            spread = d["spread"]
+            for alpha in (0.25, 0.5, 1.0, 2.0):
+                a = acc(err, conf + 4.0 * sims + alpha * mass_h, kp,
+                        args.top_k)
+                best.setdefault("+mass", (a, f"a={alpha:g}"))
+                if a > best["+mass"][0]:
+                    best["+mass"] = (a, f"a={alpha:g}")
+            for beta in (0.25, 0.5, 1.0, 2.0):
+                a = acc(err, conf + 4.0 * sims - beta * dustbin_h, kp,
+                        args.top_k)
+                best.setdefault("-dustbin", (a, f"b={beta:g}"))
+                if a > best["-dustbin"][0]:
+                    best["-dustbin"] = (a, f"b={beta:g}")
+            for g in (0.5, 1.0, 2.0, 4.0):
+                a = acc(err, conf + 4.0 * sims - g * spread, kp, args.top_k)
+                best.setdefault("-spread", (a, f"g={g:g}"))
+                if a > best["-spread"][0]:
+                    best["-spread"] = (a, f"g={g:g}")
+
+            # Split-half fitted fusion (honest: fit on one half of the
+            # queries, evaluate on the other, average the two folds).
+            feats = np.stack([conf, sims, count, mass_h, dustbin_h, spread],
+                             axis=-1)                    # [Q, kmax, F]
+            f2 = feats[:, :kp].reshape(-1, feats.shape[-1])
+            mu, sd = f2.mean(0), f2.std(0) + 1e-6
+            X = (feats[:, :kp] - mu) / sd                # [Q, kp, F]
+            y = (err[:, :kp] <= 15.0).astype(np.float32)
+            halves = [np.arange(Q) % 2 == 0, np.arange(Q) % 2 == 1]
+            fold_accs = []
+            for tr, te in (halves, halves[::-1]):
+                Xt = X[tr].reshape(-1, X.shape[-1])
+                yt = y[tr].reshape(-1)
+                w = np.zeros(X.shape[-1])
+                b = 0.0
+                lr = 0.5
+                for _ in range(300):
+                    z = Xt @ w + b
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    g_w = Xt.T @ (p - yt) / len(yt)
+                    g_b = float(np.mean(p - yt))
+                    w -= lr * g_w
+                    b -= lr * g_b
+                score_te = np.einsum("qkf,f->qk", X[te], w)
+                fold_accs.append(acc(err[te], score_te, kp, args.top_k))
+            best["logistic"] = (float(np.mean(fold_accs)),
+                                "6-feat split-half")
+
         for name, (a, cfg) in sorted(best.items(), key=lambda kv: -kv[1][0]):
             print(f"  {name:8s} {a:0.4f}  ({cfg})")
 

@@ -117,13 +117,73 @@ def main() -> None:
             idx = np.concatenate([idx, idx[:1].repeat(reps, 0)])
             htk = np.concatenate([htk, htk[:1].repeat(reps, 0)])
             hln = np.concatenate([hln, hln[:1].repeat(reps, 0)])
-        _, pm, po, cf, cs = pipe._match_chunk_cached(
+        _, pm, po, cf, cs, _sp = pipe._match_chunk_cached(
             pipe.fine_state, fine_bank[0], fine_bank[1], jnp.asarray(idx),
             jnp.asarray(htk), jnp.asarray(hln))
         pos[sl] = np.asarray(po, np.float32)[:real]
         conf[sl] = np.asarray(cs, np.float32)[:real]
         count[sl] = np.asarray(cf, np.int32)[:real]
     print("# matching pass done", flush=True)
+
+    rich = {}
+    if args.save_banks:
+        # Richer fine-stage signals for the offline scoring lab, computed
+        # from the same pass structure (one extra compile): hint-side soft
+        # transport mass (no mutual-max gate), hint-dustbin mass, and the
+        # spread of the matched per-hint position votes.
+        from text2pos_tpu.models.matcher import get_pos_in_cell  # noqa: E402
+
+        model = pipe.fine.model
+        fs = pipe.fine_state
+
+        @jax.jit
+        def rich_chunk(idx, htk, hln):
+            B, K = idx.shape
+            variables = {"params": fs.params, "batch_stats": fs.batch_stats}
+            flat = idx.reshape(B * K)
+            obj_enc = fine_bank[0][flat].reshape(
+                B * K, *fine_bank[0].shape[1:])
+            ctr = fine_bank[1][flat].reshape(B * K, *fine_bank[1].shape[1:])
+            hint_enc = model.apply(variables, htk, hln,
+                                   method=type(model).encode_hints)
+            H = hint_enc.shape[1]
+            hint_rep = jnp.repeat(hint_enc, K, axis=0)        # [B·K, H, E]
+            out = model.apply(variables, obj_enc, hint_rep, train=False,
+                              method=type(model).match_encoded)
+            mass_h = out["matching_scores1"].sum(-1).reshape(B, K)
+            dustbin_h = out["P"][:, -1, :H].sum(-1).reshape(B, K)
+            # Matched per-hint position votes: center of the matched object
+            # + that hint's offset; spread = rms distance to their mean.
+            m1 = out["matches1"]                              # [B·K, H]
+            valid = m1 >= 0
+            ctr_h = jnp.take_along_axis(
+                ctr, jnp.maximum(m1, 0)[..., None], axis=1)   # [B·K, H, 2]
+            votes = ctr_h + out["offsets"]
+            n = jnp.maximum(valid.sum(-1, keepdims=True), 1)
+            mean_v = (votes * valid[..., None]).sum(1, keepdims=True) / \
+                n[..., None]
+            d2 = ((votes - mean_v) ** 2).sum(-1)
+            spread = jnp.sqrt((d2 * valid).sum(-1) /
+                              jnp.maximum(valid.sum(-1), 1)).reshape(B, K)
+            return mass_h, dustbin_h, spread
+
+        for name in ("mass_h", "dustbin_h", "spread"):
+            rich[name] = np.zeros((Q, kmax), np.float32)
+        for i in range(0, Q, args.chunk):
+            sl = slice(i, min(i + args.chunk, Q))
+            real = sl.stop - sl.start
+            idx, htk, hln = wide[sl], hint_tokens[sl], hint_lengths[sl]
+            if real < args.chunk:
+                reps = args.chunk - real
+                idx = np.concatenate([idx, idx[:1].repeat(reps, 0)])
+                htk = np.concatenate([htk, htk[:1].repeat(reps, 0)])
+                hln = np.concatenate([hln, hln[:1].repeat(reps, 0)])
+            mh, dh, sp = rich_chunk(jnp.asarray(idx), jnp.asarray(htk),
+                                    jnp.asarray(hln))
+            rich["mass_h"][sl] = np.asarray(mh, np.float32)[:real]
+            rich["dustbin_h"][sl] = np.asarray(dh, np.float32)[:real]
+            rich["spread"][sl] = np.asarray(sp, np.float32)[:real]
+        print("# rich-signal pass done", flush=True)
 
     if args.save_banks:
         # Per-(query, slot) world-space localization error — with it, any
@@ -139,7 +199,8 @@ def main() -> None:
         err = np.linalg.norm(world - pose_w_all[:, None, :], axis=-1)
         err = np.where(cell_scene[wide] == pose_scene[:, None], err, np.inf)
         np.savez_compressed(args.save_banks, wide=wide, sims=sims,
-                            conf=conf, count=count, err=err.astype(np.float32))
+                            conf=conf, count=count,
+                            err=err.astype(np.float32), **rich)
         print(f"# banks saved to {args.save_banks}", flush=True)
 
     rows = np.arange(Q)[:, None]

@@ -358,7 +358,7 @@ class TestRerank:
              "batch_stats": pipe.coarse_state.batch_stats},
             jnp.asarray(tk), jnp.asarray(ln), method=type(model).encode_text)
         _, wide = topk_retrieval(text_enc, srv.cell_enc, k_all)
-        _, pm, po, cf, cs = pipe._match_chunk_cached(
+        _, pm, po, cf, cs, _sp = pipe._match_chunk_cached(
             pipe.fine_state, srv.fine_bank[0], srv.fine_bank[1],
             wide, jnp.asarray(htk), jnp.asarray(hln))
         cs = np.asarray(cs)
@@ -402,7 +402,7 @@ class TestRerank:
              "batch_stats": pipe.coarse_state.batch_stats},
             jnp.asarray(tk), jnp.asarray(ln), method=type(model).encode_text)
         sims, wide = topk_retrieval(text_enc, srv.cell_enc, k_all)
-        _, _pm, _po, _cf, cs = pipe._match_chunk_cached(
+        _, _pm, _po, _cf, cs, _sp = pipe._match_chunk_cached(
             pipe.fine_state, srv.fine_bank[0], srv.fine_bank[1],
             wide, jnp.asarray(htk), jnp.asarray(hln))
         score = np.asarray(cs, np.float32) + lam * np.asarray(sims,
@@ -426,6 +426,79 @@ class TestRerank:
             k_all, 1e6)
         np.testing.assert_array_equal(np.asarray(got_big[0], np.int64),
                                       np.asarray(wide)[:, :top_k])
+
+    def test_match_vote_spread_matches_numpy(self):
+        """_match_vote_spread ≡ numpy recompute: rms distance of matched
+        hints' (center + offset) votes to their mean; 0 when nothing
+        matches."""
+        import jax.numpy as jnp
+
+        from text2pos_tpu.evaluation.pipeline import _match_vote_spread
+
+        rng = np.random.default_rng(0)
+        B, K, H, pad = 2, 3, 4, 5
+        matches1 = rng.integers(-1, pad, size=(B, K, H))
+        matches1[0, 0] = -1                       # no matches → spread 0
+        offsets = rng.normal(size=(B, K, H, 2)).astype(np.float32)
+        centers = rng.random((B, K, pad, 2)).astype(np.float32)
+
+        got = np.asarray(_match_vote_spread(
+            jnp.asarray(matches1), jnp.asarray(offsets),
+            jnp.asarray(centers)))
+
+        want = np.zeros((B, K), np.float32)
+        for b in range(B):
+            for k in range(K):
+                votes = [centers[b, k, matches1[b, k, h]] + offsets[b, k, h]
+                         for h in range(H) if matches1[b, k, h] >= 0]
+                if votes:
+                    v = np.stack(votes)
+                    want[b, k] = np.sqrt(
+                        ((v - v.mean(0)) ** 2).sum(1).mean())
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert got[0, 0] == 0.0
+
+    def test_serve_batch_rerank_gamma_penalizes_spread(self, server):
+        """serve_batch(rerank_k, rerank_lambda, rerank_gamma) reorders by
+        conf + λ·sim − γ·spread — verified against a manual recompute from
+        the unreranked building blocks."""
+        import jax.numpy as jnp
+
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+
+        srv, cells, poses, _ = server
+        pipe = srv.pipe
+        queries = [create_hint_description(p)[:srv.cfg.num_mentioned]
+                   for p in poses[:4]]
+        (tk, ln, htk, hln), _n = srv._prepare(queries, False)
+        top_k = 2
+        k_all = min(6, srv.bank.num_cells)
+        lam, gam = 0.7, 5.0
+
+        model = pipe.coarse.model
+        text_enc = model.apply(
+            {"params": pipe.coarse_state.params,
+             "batch_stats": pipe.coarse_state.batch_stats},
+            jnp.asarray(tk), jnp.asarray(ln), method=type(model).encode_text)
+        sims, wide = topk_retrieval(text_enc, srv.cell_enc, k_all)
+        _, _pm, _po, _cf, cs, sp = pipe._match_chunk_cached(
+            pipe.fine_state, srv.fine_bank[0], srv.fine_bank[1],
+            wide, jnp.asarray(htk), jnp.asarray(hln))
+        sp = np.asarray(sp)
+        assert sp.dtype == np.float32 and sp.shape == wide.shape
+        assert (sp >= 0).all() and np.isfinite(sp).all()
+        score = (np.asarray(cs, np.float32)
+                 + lam * np.asarray(sims, np.float32) - gam * sp)
+        order = np.argsort(-score, axis=1, kind="stable")[:, :top_k]
+        rows = np.arange(len(queries))[:, None]
+        want_idx = np.asarray(wide)[rows, order]
+
+        got = pipe.serve_batch(
+            pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
+            jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
+            srv.cell_enc, top_k, srv.fine_bank[0], srv.fine_bank[1],
+            k_all, lam, gam)
+        np.testing.assert_array_equal(np.asarray(got[0], np.int64), want_idx)
 
     def test_server_rerank_candidates_from_wider_pool(self, server,
                                                       monkeypatch):

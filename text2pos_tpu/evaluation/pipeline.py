@@ -56,6 +56,32 @@ def _match_confidence_scores(matches0: jnp.ndarray,
     return jnp.sum(scores, axis=2)
 
 
+def _match_vote_spread(matches1: jnp.ndarray, offsets: jnp.ndarray,
+                       centers_xy: jnp.ndarray) -> jnp.ndarray:
+    """RMS distance of the matched hints' position votes (matched object
+    center + that hint's predicted offset) to their mean, [B, K] float32
+    (0 when <=1 hint matches). A cell whose matched hints AGREE on a
+    position is far likelier correct than one with equal match mass but
+    scattered votes — the strongest re-ranking signal found by the
+    offline scoring lab (scripts/rerank_score_lab.py: conf + 4·sim −
+    6·spread lifts bench top-10@15m 0.716 → 0.779 at rerank_k=128,
+    top-1 0.385 → 0.520). TPU-native addition; no reference equivalent.
+
+    Args:
+        matches1: [B, K, H] per-hint matched object index (−1 unmatched)
+        offsets:  [B, K, H, 2] per-hint predicted offsets
+        centers_xy: [B, K, pad, 2] candidate cells' object centers
+    """
+    valid = matches1 >= 0
+    ctr = jnp.take_along_axis(centers_xy,
+                              jnp.maximum(matches1, 0)[..., None], axis=2)
+    votes = (ctr + offsets).astype(jnp.float32)           # [B, K, H, 2]
+    n = jnp.maximum(valid.sum(-1), 1)                     # [B, K]
+    mean_v = (votes * valid[..., None]).sum(2) / n[..., None]
+    d2 = ((votes - mean_v[:, :, None, :]) ** 2).sum(-1)
+    return jnp.sqrt((d2 * valid).sum(-1) / n)
+
+
 class LocalizationPipeline:
     """Bundles the coarse retriever + fine matcher for end-to-end eval."""
 
@@ -475,7 +501,10 @@ class LocalizationPipeline:
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
         confidences = jnp.sum(matches0 >= 0, axis=2)
         conf_scores = _match_confidence_scores(matches0, mscores0)
-        return matches0, pos_mean, pos_offsets, confidences, conf_scores
+        spreads = _match_vote_spread(out["matches1"].reshape(B, K, H),
+                                     offsets, centers_xy)
+        return (matches0, pos_mean, pos_offsets, confidences, conf_scores,
+                spreads)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _match_chunk_cached(self, fine_state: TrainState,
@@ -529,7 +558,10 @@ class LocalizationPipeline:
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
         confidences = jnp.sum(matches0 >= 0, axis=2)
         conf_scores = _match_confidence_scores(matches0, mscores0)
-        return matches0, pos_mean, pos_offsets, confidences, conf_scores
+        spreads = _match_vote_spread(out["matches1"].reshape(B, K, H),
+                                     offsets, centers_xy)
+        return (matches0, pos_mean, pos_offsets, confidences, conf_scores,
+                spreads)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fine_chunk(self, fine_state: TrainState, bank_dev: Dict,
@@ -568,7 +600,10 @@ class LocalizationPipeline:
         pos_offsets = get_pos_in_cell(centers_xy, matches0, offsets)
         confidences = jnp.sum(matches0 >= 0, axis=2)     # [B, K]
         conf_scores = _match_confidence_scores(matches0, mscores0)
-        return matches0, pos_mean, pos_offsets, confidences, conf_scores
+        spreads = _match_vote_spread(out["matches1"].reshape(B, K, H),
+                                     offsets, centers_xy)
+        return (matches0, pos_mean, pos_offsets, confidences, conf_scores,
+                spreads)
 
     def run_fine(self, loader, poses, top_idx: np.ndarray, vocab: Vocabulary,
                  chunk: int = 8, use_cache: bool = True,
@@ -622,11 +657,11 @@ class LocalizationPipeline:
                 tok = np.concatenate([tok, tok[:1].repeat(reps, 0)])
                 lng = np.concatenate([lng, lng[:1].repeat(reps, 0)])
             if use_cache:
-                _, pm, po, cf, cs = self._match_chunk_cached(
+                _, pm, po, cf, cs, _sp = self._match_chunk_cached(
                     self.fine_state, fine_bank[0], fine_bank[1],
                     jnp.asarray(idx), jnp.asarray(tok), jnp.asarray(lng))
             else:
-                _, pm, po, cf, cs = self._fine_chunk(
+                _, pm, po, cf, cs, _sp = self._fine_chunk(
                     self.fine_state, bank_dev, jnp.asarray(idx),
                     jnp.asarray(tok), jnp.asarray(lng),
                     jax.random.fold_in(rng, i))
@@ -660,13 +695,14 @@ class LocalizationPipeline:
     # ------------------------------------------------------------------
     # Single-program serving: the full query batch in one XLA program
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8, 11, 12))
+    @functools.partial(jax.jit, static_argnums=(0, 8, 11, 12, 13))
     def serve_batch(self, coarse_state: TrainState, fine_state: TrainState,
                     tokens: jnp.ndarray, lengths: jnp.ndarray,
                     hint_tokens: jnp.ndarray, hint_lengths: jnp.ndarray,
                     cell_enc: jnp.ndarray, top_k: int,
                     obj_enc_bank: jnp.ndarray, centers_xy_bank: jnp.ndarray,
-                    rerank_k: int = 0, rerank_lambda: float = 0.0):
+                    rerank_k: int = 0, rerank_lambda: float = 0.0,
+                    rerank_gamma: float = 0.0):
         """Localize a batch of queries end-to-end in ONE jitted program:
         LSTM text encode → top-k retrieval matmul → SuperGlue matching vs
         pre-encoded cells → in-cell positions. One host→device transfer of
@@ -685,7 +721,13 @@ class LocalizationPipeline:
         confidence is a noisy per-cell signal at wide pools, and keeping
         some weight on the retrieval score measurably helps
         (scripts/sweep_rerank.py: +~1 pt top-10@15m at rerank_k=40,
-        lambda≈2–4). No reference equivalent; off by default.
+        lambda≈2–4). ``rerank_gamma > 0`` additionally penalizes the
+        spread of the matched hints' position votes
+        (``… - gamma * spread``, see ``_match_vote_spread``) — the
+        strongest re-ranking signal found by the offline scoring lab
+        (scripts/rerank_score_lab.py: gamma=6 lifts bench top-10@15m
+        0.716 → 0.779 and top-1 0.385 → 0.520 at rerank_k=100-128).
+        No reference equivalent; both off by default.
 
         Returns only the compact serving outputs (top_idx, pos_mean,
         pos_offsets, confidences) — per-object match indices are ~70% of
@@ -701,25 +743,33 @@ class LocalizationPipeline:
 
         match = (self._match_chunk_fused if self._gnn_folded is not None
                  else self._match_chunk_cached)
-        _, pos_mean, pos_offsets, confidences, conf_scores = match(
+        _, pos_mean, pos_offsets, confidences, conf_scores, spreads = match(
             fine_state, obj_enc_bank, centers_xy_bank, top_idx,
             hint_tokens, hint_lengths)
         return self._compact_results(top_idx, pos_mean, pos_offsets,
                                      confidences, conf_scores, top_k,
                                      rerank_k, cell_enc.shape[0],
-                                     sims=sims, rerank_lambda=rerank_lambda)
+                                     sims=sims, rerank_lambda=rerank_lambda,
+                                     spreads=spreads,
+                                     rerank_gamma=rerank_gamma)
 
     @staticmethod
     def _compact_results(top_idx, pos_mean, pos_offsets, confidences,
                          conf_scores, top_k: int, rerank_k: int,
                          num_cells: int, sims=None,
-                         rerank_lambda: float = 0.0):
+                         rerank_lambda: float = 0.0, spreads=None,
+                         rerank_gamma: float = 0.0):
         """Re-rank (when enabled) + compact wire types — the tail shared
         by serve_batch and the DB-sharded serving mode."""
         if rerank_k > top_k:
             score = conf_scores.astype(jnp.float32)
             if sims is not None and rerank_lambda:
                 score = score + rerank_lambda * sims.astype(jnp.float32)
+            if spreads is not None and rerank_gamma:
+                # Penalize scattered position votes (_match_vote_spread):
+                # conf + lam*sim - gamma*spread is the best hand form found
+                # by the offline lab (0.716 -> 0.779 top-10@15m at K'=128).
+                score = score - rerank_gamma * spreads.astype(jnp.float32)
             order = jnp.argsort(-score, axis=1, stable=True)[:, :top_k]
             top_idx = jnp.take_along_axis(top_idx, order, axis=1)
             pos_mean = jnp.take_along_axis(pos_mean, order[..., None], axis=1)

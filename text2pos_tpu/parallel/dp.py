@@ -224,7 +224,7 @@ def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
 
 
 def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
-                   rerank_lambda: float = 0.0):
+                   rerank_lambda: float = 0.0, rerank_gamma: float = 0.0):
     """Shard end-to-end serving over the mesh: queries split across
     devices, the (small) retrieval DB and fine bank replicated. Serving is
     embarrassingly parallel — no collectives beyond the output gather.
@@ -245,7 +245,8 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
                    tokens, lengths, hint_tokens, hint_lengths):
         return pipe.serve_batch(cstate, fstate, tokens, lengths,
                                 hint_tokens, hint_lengths, cell_enc, top_k,
-                                bank0, bank1, rerank_k, rerank_lambda)
+                                bank0, bank1, rerank_k, rerank_lambda,
+                                rerank_gamma)
 
     sharded = shard_map(
         per_device, mesh=mesh,
@@ -267,7 +268,8 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
 def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
                              rerank_k: int = 0,
                              num_real_cells: Optional[int] = None,
-                             rerank_lambda: float = 0.0):
+                             rerank_lambda: float = 0.0,
+                             rerank_gamma: float = 0.0):
     """Serving with BOTH queries and the map sharded over the mesh — for
     city-scale DBs larger than one chip's HBM (the replicated-DB
     ``dp_serve_batch`` above is preferable whenever the map fits).
@@ -353,13 +355,14 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
             gather_step, init, None, length=D)
 
         # ---- local fine matching + shared rerank/compact tail ----
-        _, pos_mean, pos_offsets, confidences, conf_scores = (
+        _, pos_mean, pos_offsets, confidences, conf_scores, spreads = (
             pipe._match_gathered(fstate, obj_enc, centers_xy,
                                  hint_tokens_l, hint_lengths_l))
         return pipe._compact_results(
             top_idx, pos_mean, pos_offsets, confidences, conf_scores,
             min(top_k, num_cells), rerank_k if k_loc > top_k else 0,
-            num_cells, sims=sims, rerank_lambda=rerank_lambda)
+            num_cells, sims=sims, rerank_lambda=rerank_lambda,
+            spreads=spreads, rerank_gamma=rerank_gamma)
 
     @jax.jit
     def serve(cstate, fstate, cell_enc, bank0, bank1,

@@ -41,7 +41,8 @@ class LocalizationServer:
                  dtype: Optional[str] = "bfloat16", calibrate: bool = True,
                  calibration_hints: Optional[Sequence[Sequence[str]]] = None,
                  data_parallel: int = 1, rerank_k: int = 0,
-                 shard_db: bool = False, rerank_lambda: float = 0.0):
+                 shard_db: bool = False, rerank_lambda: float = 0.0,
+                 rerank_gamma: float = 0.0):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
@@ -56,6 +57,12 @@ class LocalizationServer:
                 similarity in the re-ranking score (``conf + λ·sim``);
                 λ≈2–4 measurably helps at wide pools
                 (scripts/sweep_rerank.py).
+            rerank_gamma: penalty weight of the matched position votes'
+                spread in the re-ranking score (``… − γ·spread``); γ≈6
+                is the strongest single re-ranking signal found by the
+                offline lab (scripts/rerank_score_lab.py: +6 pts
+                top-10@15m, +13 pts top-1@15m at rerank_k=100 on the
+                bench protocol).
             dtype: serving compute dtype for the model bodies.
             calibrate: freeze fine-stage BN statistics on population data
                 and serve in true eval mode (recommended; False keeps the
@@ -83,6 +90,7 @@ class LocalizationServer:
         self.top_k = top_k
         self.rerank_k = rerank_k
         self.rerank_lambda = float(rerank_lambda)
+        self.rerank_gamma = float(rerank_gamma)
         pipe, vocab, _ = build_pipeline_from_checkpoints(
             self.cfg, path_coarse, path_fine, dtype=dtype)
         self.vocab = vocab
@@ -143,11 +151,13 @@ class LocalizationServer:
                                       z(self.fine_bank[1]))
                 self._dp_serve = dp_serve_batch_dbsharded(
                     pipe, make_mesh(data_parallel), k, rk,
-                    num_real_cells=C, rerank_lambda=self.rerank_lambda)
+                    num_real_cells=C, rerank_lambda=self.rerank_lambda,
+                    rerank_gamma=self.rerank_gamma)
             else:
                 self._dp_serve = dp_serve_batch(
                     pipe, make_mesh(data_parallel), k, rk,
-                    rerank_lambda=self.rerank_lambda)
+                    rerank_lambda=self.rerank_lambda,
+                    rerank_gamma=self.rerank_gamma)
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -246,7 +256,8 @@ class LocalizationServer:
             pipe.coarse_state, pipe.fine_state, jnp.asarray(tk),
             jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
             self.cell_enc, k, self.fine_bank[0], self.fine_bank[1],
-            min(self.rerank_k, self.bank.num_cells), self.rerank_lambda)
+            min(self.rerank_k, self.bank.num_cells), self.rerank_lambda,
+            self.rerank_gamma)
 
     def localize(self, hint_lists: Sequence[Sequence[str]],
                  pad_short_queries: bool = False) -> Dict:
@@ -403,6 +414,10 @@ def main(argv=None):
                     help="blend weight of the coarse similarity in the "
                          "re-ranking score (conf + λ·sim); λ≈2–4 helps "
                          "at wide pools")
+    ap.add_argument("--rerank_gamma", type=float, default=0.0,
+                    help="penalty weight of the matched position votes' "
+                         "spread in the re-ranking score (− γ·spread); "
+                         "γ≈6 is the strongest signal at wide pools")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=64)
@@ -449,7 +464,7 @@ def main(argv=None):
         dtype=None if args.dtype == "float32" else args.dtype,
         calibrate=not args.no_calibrate, data_parallel=args.data_parallel,
         rerank_k=args.rerank_k, shard_db=args.shard_db,
-        rerank_lambda=args.rerank_lambda)
+        rerank_lambda=args.rerank_lambda, rerank_gamma=args.rerank_gamma)
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)
 
