@@ -93,10 +93,12 @@ class TestDBShardedServing:
     mesh (two ICI ring passes — rotating retrieval, rotating fine-bank
     gather). Must reproduce single-device serve_batch exactly."""
 
-    @pytest.mark.parametrize("rerank_k,rerank_lambda",
-                             [(0, 0.0), (5, 0.0), (5, 0.7)])
+    @pytest.mark.parametrize("rerank_k,rerank_lambda,rerank_gamma",
+                             [(0, 0.0, 0.0), (5, 0.0, 0.0), (5, 0.7, 0.0),
+                              (5, 0.7, 5.0)])
     def test_ring_sharded_equals_single_device(self, serving_setup,
-                                               rerank_k, rerank_lambda):
+                                               rerank_k, rerank_lambda,
+                                               rerank_gamma):
         from text2pos_tpu.parallel.dp import dp_serve_batch_dbsharded
 
         serving, fine_bank, cell_enc, tokens, lengths, htk, hln = \
@@ -108,14 +110,15 @@ class TestDBShardedServing:
         single = serving.serve_batch(serving.coarse_state,
                                      serving.fine_state, *args, cell_enc, k,
                                      fine_bank[0], fine_bank[1], rerank_k,
-                                     rerank_lambda)
+                                     rerank_lambda, rerank_gamma)
 
         mesh = make_mesh(D)
         C = cell_enc.shape[0]
         ce_p, fb_p = _pad_db(cell_enc, fine_bank, D)
         serve = dp_serve_batch_dbsharded(serving, mesh, k, rerank_k,
                                          num_real_cells=C,
-                                         rerank_lambda=rerank_lambda)
+                                         rerank_lambda=rerank_lambda,
+                                         rerank_gamma=rerank_gamma)
         sharded = serve(serving.coarse_state, serving.fine_state, ce_p,
                         fb_p[0], fb_p[1], *args)
 

@@ -527,11 +527,29 @@ class TestRerank:
         for q in range(3):
             assert set(out["top_cells"][q]) <= set(wide[q])
 
-    def test_run_fine_rerank_full_k_accuracy_invariant(self, server):
+    def test_rerank_order_formula(self):
+        """_rerank_order sorts by conf − γ·spread, stable in coarse order."""
+        from text2pos_tpu.evaluation.pipeline import _rerank_order
+
+        conf = np.array([[3.0, 3.0, 1.0]], np.float32)
+        spread = np.array([[2.0, 0.5, 0.0]], np.float32)
+        # gamma=0: ties keep coarse order → [0, 1, 2]
+        np.testing.assert_array_equal(_rerank_order(conf, spread, 0.0),
+                                      [[0, 1, 2]])
+        # gamma=1: scores 1.0, 2.5, 1.0 → [1, 0, 2] (stable tie 0 before 2)
+        np.testing.assert_array_equal(_rerank_order(conf, spread, 1.0),
+                                      [[1, 0, 2]])
+        # gamma huge: spread dominates → ascending spread [2, 1, 0]
+        np.testing.assert_array_equal(_rerank_order(conf, spread, 100.0),
+                                      [[2, 1, 0]])
+
+    @pytest.mark.parametrize("gamma", [0.0, 6.0])
+    def test_run_fine_rerank_full_k_accuracy_invariant(self, server, gamma):
         """Re-ranking permutes each query's candidate list; accuracy over
         ALL K candidates (min over the row) is permutation-invariant, so
         top-K accuracy must match the unreranked pipeline exactly while
-        per-query candidate SETS stay identical."""
+        per-query candidate SETS stay identical — with and without the
+        vote-spread penalty (cfg.rerank_gamma)."""
         import dataclasses
 
         from text2pos_tpu.data.loaders import CoarseLoader
@@ -544,7 +562,8 @@ class TestRerank:
                               ecfg.coarse_max_objects,
                               ecfg.pointnet_numpoints, ecfg.max_text_len)
         base_cfg = dataclasses.replace(ecfg, top_k=(1, k_all))
-        rr_cfg = dataclasses.replace(ecfg, top_k=(1, k_all), rerank=k_all)
+        rr_cfg = dataclasses.replace(ecfg, top_k=(1, k_all), rerank=k_all,
+                                     rerank_gamma=gamma)
 
         import copy
         plain = copy.copy(pipe)

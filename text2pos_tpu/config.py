@@ -170,6 +170,10 @@ class EvalConfig:
     # coarse top-`rerank` recall at proportionally higher fine-stage cost.
     # 0 = off (the reference protocol).
     rerank: int = 0
+    # Penalty weight of the matched position votes' spread in the
+    # evaluator's re-ranking score (conf − gamma·spread); same signal as
+    # serving's rerank_gamma (pipeline._match_vote_spread), gamma≈6 best.
+    rerank_gamma: float = 0.0
 
     def __post_init__(self):
         self.top_k = tuple(self.top_k)

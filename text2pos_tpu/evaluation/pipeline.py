@@ -82,6 +82,20 @@ def _match_vote_spread(matches1: jnp.ndarray, offsets: jnp.ndarray,
     return jnp.sqrt((d2 * valid).sum(-1) / n)
 
 
+def _rerank_order(conf_scores: np.ndarray, spreads: np.ndarray,
+                  gamma: float) -> np.ndarray:
+    """Re-ranked candidate order per query, [Q, K] int indices into the
+    coarse top-k list. Score is ``conf − gamma·spread`` (the offline
+    evaluator's analogue of serving's ``conf + λ·sim − γ·spread``; the
+    evaluator re-ranks within the already-retrieved top-k so the coarse
+    similarity term is a constant tie-break, supplied by the stable sort
+    over the coarse order)."""
+    score = np.asarray(conf_scores, np.float32)
+    if gamma:
+        score = score - gamma * np.asarray(spreads, np.float32)
+    return np.argsort(-score, axis=1, kind="stable")
+
+
 class LocalizationPipeline:
     """Bundles the coarse retriever + fine matcher for end-to-end eval."""
 
@@ -645,6 +659,7 @@ class LocalizationPipeline:
         pos_offsets = np.zeros((Q, K, 2), np.float32)
         confidences = np.zeros((Q, K), np.int32)
         conf_scores = np.zeros((Q, K), np.float32)
+        spreads = np.zeros((Q, K), np.float32)
         rng = jax.random.PRNGKey(cfg.seed)
         for i in range(0, Q, chunk):
             sl = slice(i, min(i + chunk, Q))
@@ -657,11 +672,11 @@ class LocalizationPipeline:
                 tok = np.concatenate([tok, tok[:1].repeat(reps, 0)])
                 lng = np.concatenate([lng, lng[:1].repeat(reps, 0)])
             if use_cache:
-                _, pm, po, cf, cs, _sp = self._match_chunk_cached(
+                _, pm, po, cf, cs, sp = self._match_chunk_cached(
                     self.fine_state, fine_bank[0], fine_bank[1],
                     jnp.asarray(idx), jnp.asarray(tok), jnp.asarray(lng))
             else:
-                _, pm, po, cf, cs, _sp = self._fine_chunk(
+                _, pm, po, cf, cs, sp = self._fine_chunk(
                     self.fine_state, bank_dev, jnp.asarray(idx),
                     jnp.asarray(tok), jnp.asarray(lng),
                     jax.random.fold_in(rng, i))
@@ -669,13 +684,17 @@ class LocalizationPipeline:
             pos_offsets[sl] = np.asarray(po)[:real]
             confidences[sl] = np.asarray(cf)[:real]
             conf_scores[sl] = np.asarray(cs)[:real]
+            spreads[sl] = np.asarray(sp)[:real]
 
         if getattr(cfg, "rerank", 0) > 0 and K > 1:
             # Fine-confidence re-ranking: reorder each query's candidates
             # by summed matched transport scores (stable → coarse order
             # breaks ties), so top-k accuracy is measured on the re-ranked
             # list. The candidate SET is unchanged; only the order is.
-            order = np.argsort(-conf_scores, axis=1, kind="stable")
+            # cfg.rerank_gamma > 0 penalizes scattered position votes
+            # (same signal as serving's rerank_gamma, _match_vote_spread).
+            order = _rerank_order(conf_scores, spreads,
+                                  float(getattr(cfg, "rerank_gamma", 0.0)))
             rows = np.arange(Q)[:, None]
             top_idx = top_idx[rows, order]
             pos_mean = pos_mean[rows, order]
