@@ -725,11 +725,11 @@ def run():
     # ------------------------------------------------------------------
     # Operating point from scripts/sweep_rerank.py on the trained bench
     # checkpoints: top-10@15m 0.496 (no rerank) → 0.664 @ k'=40 → 0.694
-    # @ k'=64 → 0.715 @ k'=100 (plateau ~0.716 @ 128), always best at
-    # lambda=4. Default k'=100: the accuracy plateau; hardware-measured
-    # rerank throughput stays thousands of q/s (k'=64 → 4.4k q/s at
-    # 0.694 if latency matters more).
-    RERANK_K = int(os.environ.get("T2P_BENCH_RERANK", 100))
+    # @ k'=64 → 0.770 @ k'=100 → 0.779 @ k'=128 (with the spread/sim
+    # fusion below), always best at lambda=4. Default k'=128: the last
+    # ~1 pt costs 28% more fine compute but rerank throughput stays
+    # >2k q/s (k'=64 → 4.4k q/s at 0.694 if latency matters more).
+    RERANK_K = int(os.environ.get("T2P_BENCH_RERANK", 128))
     RERANK_LAMBDA = float(os.environ.get("T2P_BENCH_RERANK_LAMBDA", 4.0))
     # Spread penalty (scripts/rerank_score_lab.py): conf + lam*sim -
     # gamma*spread, gamma=6 lifts top-10@15m 0.715 -> ~0.779 offline at

@@ -165,10 +165,15 @@ def main() -> None:
             d2 = ((votes - mean_v) ** 2).sum(-1)
             spread = jnp.sqrt((d2 * valid).sum(-1) /
                               jnp.maximum(valid.sum(-1), 1)).reshape(B, K)
-            return mass_h, dustbin_h, spread
+            return (mass_h, dustbin_h, spread,
+                    votes.reshape(B, K, H, 2), valid.reshape(B, K, H),
+                    out["matching_scores1"].reshape(B, K, H))
 
         for name in ("mass_h", "dustbin_h", "spread"):
             rich[name] = np.zeros((Q, kmax), np.float32)
+        rich["votes"] = np.zeros((Q, kmax, H, 2), np.float32)
+        rich["valid"] = np.zeros((Q, kmax, H), bool)
+        rich["ms1"] = np.zeros((Q, kmax, H), np.float32)
         for i in range(0, Q, args.chunk):
             sl = slice(i, min(i + args.chunk, Q))
             real = sl.stop - sl.start
@@ -178,11 +183,14 @@ def main() -> None:
                 idx = np.concatenate([idx, idx[:1].repeat(reps, 0)])
                 htk = np.concatenate([htk, htk[:1].repeat(reps, 0)])
                 hln = np.concatenate([hln, hln[:1].repeat(reps, 0)])
-            mh, dh, sp = rich_chunk(jnp.asarray(idx), jnp.asarray(htk),
-                                    jnp.asarray(hln))
+            mh, dh, sp, vt, vl, m1 = rich_chunk(
+                jnp.asarray(idx), jnp.asarray(htk), jnp.asarray(hln))
             rich["mass_h"][sl] = np.asarray(mh, np.float32)[:real]
             rich["dustbin_h"][sl] = np.asarray(dh, np.float32)[:real]
             rich["spread"][sl] = np.asarray(sp, np.float32)[:real]
+            rich["votes"][sl] = np.asarray(vt, np.float32)[:real]
+            rich["valid"][sl] = np.asarray(vl, bool)[:real]
+            rich["ms1"][sl] = np.asarray(m1, np.float32)[:real]
         print("# rich-signal pass done", flush=True)
 
     if args.save_banks:
@@ -200,7 +208,18 @@ def main() -> None:
         err = np.where(cell_scene[wide] == pose_scene[:, None], err, np.inf)
         np.savez_compressed(args.save_banks, wide=wide, sims=sims,
                             conf=conf, count=count,
-                            err=err.astype(np.float32), **rich)
+                            err=err.astype(np.float32),
+                            # world transform + targets: lets the offline
+                            # lab recompute err for ANY cell-frame position
+                            # (e.g. robust vote aggregation variants):
+                            # world = bbox_lo + pos*cell_size, err vs pose_w
+                            # where same_scene else inf.
+                            bbox_lo=lo_all.astype(np.float32),
+                            cell_size=size_all.astype(np.float32),
+                            pose_w=pose_w_all.astype(np.float32),
+                            same_scene=(cell_scene[wide]
+                                        == pose_scene[:, None]),
+                            pos=pos, **rich)
         print(f"# banks saved to {args.save_banks}", flush=True)
 
     rows = np.arange(Q)[:, None]
