@@ -101,3 +101,49 @@ class TestServeExecSnapshot:
         with open(path, "wb") as f:
             f.write(b"not a pickle")
         assert bench._load_serve_exec("key1", path) is None
+
+
+class TestVoteAggregationLab:
+    """scripts/vote_aggregation_lab.py aggregators: static-shape numpy
+    mirrors of jit-implementable position estimators over per-hint votes."""
+
+    def _load(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "vote_lab", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "vote_aggregation_lab.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_mean_matches_get_pos_in_cell_fallback(self):
+        lab = self._load()
+        votes = np.zeros((1, 1, 4, 2), np.float32)
+        valid = np.zeros((1, 1, 4), bool)
+        ms1 = np.zeros((1, 1, 4), np.float32)
+        out = lab.aggregate(votes, valid, ms1, "mean")
+        np.testing.assert_allclose(out, 0.5)  # nothing matched → cell middle
+
+    def test_pair_consensus_kills_single_outlier(self):
+        lab = self._load()
+        votes = np.array([[[[0.30, 0.30], [0.32, 0.30], [0.90, 0.95],
+                            [0.0, 0.0]]]], np.float32)
+        valid = np.array([[[True, True, True, False]]])
+        ms1 = np.ones((1, 1, 4), np.float32)
+        mean = lab.aggregate(votes, valid, ms1, "mean")[0, 0]
+        pair = lab.aggregate(votes, valid, ms1, "pair")[0, 0]
+        np.testing.assert_allclose(pair, [0.31, 0.30], atol=1e-6)
+        assert np.linalg.norm(mean - [0.31, 0.30]) > 0.2  # mean is dragged
+
+    def test_all_aggregators_reduce_to_single_vote(self):
+        lab = self._load()
+        votes = np.zeros((2, 3, 4, 2), np.float32)
+        votes[..., 0, :] = 0.7
+        valid = np.zeros((2, 3, 4), bool)
+        valid[..., 0] = True
+        ms1 = np.ones((2, 3, 4), np.float32) * 0.5
+        for kind in ("mean", "wmean", "medoid", "pair", "trim",
+                     "softmedoid"):
+            out = lab.aggregate(votes, valid, ms1, kind)
+            np.testing.assert_allclose(out, 0.7, atol=1e-6,
+                                       err_msg=kind)
