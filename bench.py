@@ -315,13 +315,28 @@ SERVE_EXEC_CACHE = os.environ.get("T2P_BENCH_EXEC_CACHE",
                                   "checkpoints/bench_serve_exec.pkl")
 
 
+def _exec_mac(key: str, blob: bytes) -> str:
+    """HMAC over the pickle bytes, keyed by the cache key (which embeds
+    the checkpoint hashes). Unpickling is code execution; verifying the
+    MAC before cloudpickle.load means a tampered/corrupted snapshot (or
+    one produced without access to the checkpoint bytes) is rejected and
+    recompiled instead of executed — mirroring the npz DB cache's
+    key-check-before-use pattern."""
+    import hmac
+
+    return hmac.new(key.encode(), blob, hashlib.sha256).hexdigest()
+
+
 def _load_serve_exec(key, path=None):
     """Restore an AOT-compiled executable snapshot if it matches ``key``.
-    Self-produced pickle (same trust domain as the checkpoints); any
-    mismatch, version skew, or load error falls back to compiling."""
+    Self-produced pickle (same trust domain as the checkpoints), gated by
+    a checkpoint-keyed MAC over the raw bytes; any mismatch, version
+    skew, or load error falls back to compiling."""
     path = path or SERVE_EXEC_CACHE
     if key is None or not os.path.isfile(path):
         return None
+    import hmac
+
     import cloudpickle
     import jax
 
@@ -329,7 +344,20 @@ def _load_serve_exec(key, path=None):
 
     try:
         with open(path, "rb") as f:
-            payload = cloudpickle.load(f)
+            blob = f.read()
+        mac_path = path + ".mac"
+        if os.path.isfile(mac_path):
+            with open(mac_path) as f:
+                if not hmac.compare_digest(f.read().strip(),
+                                           _exec_mac(key, blob)):
+                    print(f"# serve exec: MAC mismatch, recompiling "
+                          f"({path})", flush=True)
+                    return None
+        else:
+            print(f"# serve exec: no MAC sidecar, recompiling ({path})",
+                  flush=True)
+            return None
+        payload = cloudpickle.loads(blob)
         if payload.get("key") != key:
             print(f"# serve exec: stale key, recompiling ({path})",
                   flush=True)
@@ -354,12 +382,16 @@ def _save_serve_exec(key, compiled, path=None) -> None:
     path = path or SERVE_EXEC_CACHE
     try:
         serialized, in_tree, out_tree = se.serialize(compiled)
+        blob = cloudpickle.dumps({"key": key, "serialized": serialized,
+                                  "in_tree": in_tree, "out_tree": out_tree,
+                                  "cost": _compiled_cost(compiled)})
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            cloudpickle.dump({"key": key, "serialized": serialized,
-                         "in_tree": in_tree, "out_tree": out_tree,
-                         "cost": _compiled_cost(compiled)}, f)
+            f.write(blob)
+        with open(path + ".mac.tmp", "w") as f:
+            f.write(_exec_mac(key, blob))
         os.replace(tmp, path)
+        os.replace(path + ".mac.tmp", path + ".mac")
         print(f"# serve exec: saved {path} "
               f"({os.path.getsize(path)/1e6:0.1f} MB)", flush=True)
     except Exception as e:  # snapshotting is best-effort

@@ -32,15 +32,40 @@ TRAIN_SEEDS = list(range(100, 110))
 VAL_SEED = 77
 
 
+def _generator_version() -> str:
+    """Content hash of the synthetic-corpus generators: a change to the
+    generation code must invalidate cached corpora (a stale cache would
+    silently mask data/synthetic.py changes)."""
+    import hashlib
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "text2pos_tpu", "data")
+    h = hashlib.sha256()
+    for name in ("synthetic.py", "descriptions.py", "select.py"):
+        with open(os.path.join(root, name), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def build_corpus(poses_per_cell: int, seeds, tag: str):
     """Synthetic multi-scene corpus, cached on disk — the 48-scene build
     takes ~3 min of host time and the outage-resilient wrapper restarts
     this script after every relay drop, so rebuilding per attempt would
-    dominate the retry loop."""
+    dominate the retry loop.
+
+    The cache lives under the (user-owned) checkpoints dir, NOT /tmp:
+    pickle.load executes arbitrary code, and a predictable world-writable
+    /tmp path could be planted by another local user. The key includes a
+    content hash of the generator modules so corpus-generation changes
+    can never be masked by a stale cache."""
     import pickle
 
-    cache = (f"/tmp/t2p_corpus_{tag}_{seeds[0]}-{seeds[-1]}"
-             f"_ppc{poses_per_cell}.pkl")
+    cache_dir = os.environ.get("T2P_CORPUS_CACHE_DIR", "checkpoints")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir,
+        f"t2p_corpus_{tag}_{seeds[0]}-{seeds[-1]}_ppc{poses_per_cell}"
+        f"_{_generator_version()}.pkl")
     if os.path.isfile(cache):
         try:
             with open(cache, "rb") as f:
@@ -91,6 +116,13 @@ def main():
     ap.add_argument("--neg_bank_hardest", type=int, default=8)
     ap.add_argument("--neg_bank_warmup", type=int, default=2)
     ap.add_argument("--eval_every", type=int, default=1)
+    ap.add_argument("--rank_weight", type=float, default=0.0,
+                    help="rank-aware fine loss weight (listwise softmax "
+                         "over in-batch negative cells; 0 = off)")
+    ap.add_argument("--rank_negatives", type=int, default=4)
+    ap.add_argument("--rank_tau", type=float, default=1.0)
+    ap.add_argument("--rank_gamma", type=float, default=0.0,
+                    help="soft vote-spread penalty inside the rank score")
     ap.add_argument("--resume", action="store_true",
                     help="outage-resilient mode: stages whose bench_*.msgpack "
                          "already exists in --out_dir are skipped, and "
@@ -183,7 +215,9 @@ def main():
             batch_size=32, embed_dim=128, learning_rate=args.fine_lr,
             epochs=fine_epochs, fused=True, num_layers=6, sinkhorn_iters=50,
             coarse_max_objects=24, pointnet_numpoints=256,
-            pad_size=16, num_mentioned=6, **pn_kwargs)
+            pad_size=16, num_mentioned=6, rank_weight=args.rank_weight,
+            rank_negatives=args.rank_negatives, rank_tau=args.rank_tau,
+            rank_gamma=args.rank_gamma, **pn_kwargs)
         t0 = time.time()
         state, res = fine.train(fcfg, cells_train, poses_train,
                                 cells_val, poses_val,

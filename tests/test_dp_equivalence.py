@@ -8,10 +8,13 @@ per-shard losses/grads on one device with `jax.value_and_grad` and compare
 the resulting parameters against the shard_map step at tight tolerance.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from text2pos_tpu.config import TrainConfig
 from text2pos_tpu.data.hints import (Vocabulary, build_vocabulary,

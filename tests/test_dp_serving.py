@@ -7,10 +7,13 @@ batch-statistics BN the shards would normalize by their own sub-batches
 and the result would depend on the device count.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from text2pos_tpu.config import EvalConfig, TrainConfig
 from text2pos_tpu.data.hints import (Vocabulary, build_vocabulary,

@@ -1,9 +1,12 @@
 """Device-resident fused coarse training: semantics and learning."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from text2pos_tpu.config import TrainConfig
 from text2pos_tpu.data.hints import (

@@ -4,10 +4,13 @@ These catch broken gradient flow (dead towers, detached losses, optimizer
 mis-wiring) — the failure mode where everything runs but nothing trains.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from text2pos_tpu.config import TrainConfig
 from text2pos_tpu.data.hints import Vocabulary, build_vocabulary, create_hint_description

@@ -1,8 +1,11 @@
 """Multi-device tests on the virtual 8-device CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import jax
 import numpy as np
-import pytest
 
 
 class TestMesh:

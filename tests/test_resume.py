@@ -9,6 +9,10 @@ strong property: interrupted-then-resumed training reproduces the straight
 run's parameters (not merely "loads without error").
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import jax
 import numpy as np
 import optax

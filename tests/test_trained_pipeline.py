@@ -9,11 +9,14 @@ modes, evaluation/args.py:44-50). This is the regression net that keeps
 the benchmark from silently shipping untrained-quality accuracy.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy integration tier (conftest --slow)
+
 import dataclasses
 
 import jax
 import numpy as np
-import pytest
 
 from text2pos_tpu.config import EvalConfig, TrainConfig
 from text2pos_tpu.data.hints import (Vocabulary, build_vocabulary,

@@ -98,6 +98,18 @@ class TrainConfig:
     neg_bank_weight: float = 1.0      # weight of the bank term in the loss
     neg_bank_warmup: int = 2          # epochs before the bank term turns on
     eval_every: int = 1               # run the retrieval eval every N epochs
+    # Rank-aware fine training (TPU-native addition): listwise loss on a
+    # differentiable surrogate of the SERVING re-ranking score — each
+    # query's hints are matched against its own cell plus rank_negatives
+    # other cells from the batch; softmax-CE pushes the soft transport
+    # mass (− rank_gamma · soft vote spread) of the true cell above the
+    # negatives'. Trains the fine confidence for the job re-ranking uses
+    # it for (the reference's fine loss never compares cells,
+    # /root/reference/training/fine.py:56-63).
+    rank_weight: float = 0.0          # 0 = off (reference loss only)
+    rank_negatives: int = 4           # negative cells per query
+    rank_tau: float = 1.0             # listwise softmax temperature
+    rank_gamma: float = 0.0           # soft vote-spread penalty in the score
 
     def __post_init__(self):
         self.use_features = tuple(self.use_features)

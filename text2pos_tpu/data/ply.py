@@ -72,6 +72,14 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
             else:
                 rows = np.loadtxt(
                     [f.readline() for _ in range(count)], ndmin=2)
+                if rows.shape[1] != len(props):
+                    # zip(props, rows.T) would silently zero-fill trailing
+                    # properties on short rows; reject malformed input the
+                    # way np.core.records.fromarrays used to.
+                    raise ValueError(
+                        f"{path}: element '{name}' declares {len(props)} "
+                        f"properties but data rows have {rows.shape[1]} "
+                        "columns")
                 dt = np.dtype([(p, d) for p, d in props])
                 data = np.zeros(count, dt)
                 for (p, d), col in zip(props, rows.T):

@@ -96,8 +96,26 @@ def _rerank_order(conf_scores: np.ndarray, spreads: np.ndarray,
     return np.argsort(-score, axis=1, kind="stable")
 
 
+def quantize_fine_bank(obj_enc_bank) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Int8-quantize the fine object-encoding bank with per-object scales.
+
+    The bank is the largest serving-resident tensor and the widest rerank
+    gather's traffic source; object encodings are L2-normalized rows, so a
+    symmetric per-object absmax/127 scale bounds the per-coordinate error
+    at ~scale/2 ≈ 4e-3. Returns (q [C, pad, E] int8, scale [C, pad, 1]
+    f32); dequantize as ``q * scale``. Feeds ``serve_batch``'s cheap
+    cascade pass (``cheap_bank``/``cheap_scale``). TPU-native addition —
+    the reference re-encodes every retrieved cell per query instead
+    (/root/reference/evaluation/pipeline.py:190-202)."""
+    b = jnp.asarray(obj_enc_bank, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(b), axis=-1, keepdims=True),
+                        1e-12) / 127.0
+    q = jnp.clip(jnp.round(b / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 class LocalizationPipeline:
-    """Bundles the coarse retriever + fine matcher for end-to-end eval."""
+    """Bundles the coarse retriever + fine matcher for eval + serving."""
 
     def __init__(self, coarse: CoarseTrainer, coarse_state: TrainState,
                  fine: FineTrainer, fine_state: TrainState, cfg: EvalConfig,
@@ -549,13 +567,25 @@ class LocalizationPipeline:
         Core shared by the bank-indexed path above and the DB-sharded
         serving mode (parallel/dp.dp_serve_batch with shard_db), whose
         ring gather materializes per-candidate encodings directly."""
+        model = self.fine.model
+        hint_enc = model.apply(
+            {"params": fine_state.params,
+             "batch_stats": fine_state.batch_stats},
+            hint_tokens, hint_lengths, method=type(model).encode_hints)
+        return self._match_from_enc(fine_state, obj_enc, centers_xy,
+                                    hint_enc)
+
+    def _match_from_enc(self, fine_state: TrainState, obj_enc: jnp.ndarray,
+                        centers_xy: jnp.ndarray, hint_enc: jnp.ndarray,
+                        model=None):
+        """Matcher core on pre-encoded hints: obj_enc [B, K, pad, E],
+        hint_enc [B, H, E]. ``model`` overrides the matcher — the cascaded
+        re-ranking pruner passes a truncated clone (fewer GNN blocks /
+        Sinkhorn iterations, same trained weights) here."""
+        model = model if model is not None else self.fine.model
         B, K = obj_enc.shape[:2]
         variables = {"params": fine_state.params,
                      "batch_stats": fine_state.batch_stats}
-        model = self.fine.model
-
-        hint_enc = model.apply(variables, hint_tokens, hint_lengths,
-                               method=type(model).encode_hints)  # [B, H, E]
         H = hint_enc.shape[1]
         hint_rep = jnp.repeat(hint_enc, K, axis=0)        # [B·K, H, E]
 
@@ -714,14 +744,32 @@ class LocalizationPipeline:
     # ------------------------------------------------------------------
     # Single-program serving: the full query batch in one XLA program
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8, 11, 12, 13))
+    def _cheap_matcher(self, prune_layers: int, prune_sinkhorn: int):
+        """Truncated matcher for the cascaded re-ranking's cheap pass: the
+        FIRST ``prune_layers`` self/cross block pairs of the trained GNN
+        (the residual stream makes intermediate descriptors usable by the
+        final projection) and ``prune_sinkhorn`` Sinkhorn iterations.
+        Same weights, same BN mode — flax ignores the unused deeper-layer
+        parameters. Cached per (layers, iters)."""
+        key = (prune_layers, prune_sinkhorn)
+        cache = self.__dict__.setdefault("_cheap_models", {})
+        if key not in cache:
+            cache[key] = self.fine.model.clone(
+                num_layers=prune_layers, sinkhorn_iters=prune_sinkhorn)
+        return cache[key]
+
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 8, 11, 12, 13, 14, 15, 16))
     def serve_batch(self, coarse_state: TrainState, fine_state: TrainState,
                     tokens: jnp.ndarray, lengths: jnp.ndarray,
                     hint_tokens: jnp.ndarray, hint_lengths: jnp.ndarray,
                     cell_enc: jnp.ndarray, top_k: int,
                     obj_enc_bank: jnp.ndarray, centers_xy_bank: jnp.ndarray,
                     rerank_k: int = 0, rerank_lambda: float = 0.0,
-                    rerank_gamma: float = 0.0):
+                    rerank_gamma: float = 0.0, prune_m: int = 0,
+                    prune_layers: int = 1, prune_sinkhorn: int = 10,
+                    cheap_bank: Optional[jnp.ndarray] = None,
+                    cheap_scale: Optional[jnp.ndarray] = None):
         """Localize a batch of queries end-to-end in ONE jitted program:
         LSTM text encode → top-k retrieval matmul → SuperGlue matching vs
         pre-encoded cells → in-cell positions. One host→device transfer of
@@ -748,6 +796,24 @@ class LocalizationPipeline:
         0.716 → 0.779 and top-1 0.385 → 0.520 at rerank_k=100-128).
         No reference equivalent; both off by default.
 
+        ``prune_m > 0`` (with ``rerank_k > prune_m > top_k``) enables the
+        CASCADED re-ranking: all ``rerank_k`` candidates are first scored
+        by a cheap pass — the first ``prune_layers`` GNN block pairs of
+        the SAME trained matcher (the residual stream keeps intermediate
+        descriptors projectable) with ``prune_sinkhorn`` Sinkhorn
+        iterations — the top ``prune_m`` by the blended cheap score
+        (``conf + λ·sim − γ·spread``) survive, and only those get the
+        full-depth fine pass + final re-rank. This collapses the
+        accuracy/throughput cliff of brute-force re-ranking: the fine
+        stage pays ``rerank_k·cheap + prune_m·full`` instead of
+        ``rerank_k·full``. Extends the reference's coarse→fine cascade
+        (/root/reference/evaluation/pipeline.py:38,172) by one level.
+
+        ``cheap_bank``/``cheap_scale`` optionally feed the cheap pass an
+        int8-quantized fine bank (``quantize_fine_bank``) — per-object
+        scales, dequantized after the gather — halving the widest
+        gather's HBM traffic vs bf16.
+
         Returns only the compact serving outputs (top_idx, pos_mean,
         pos_offsets, confidences) — per-object match indices are ~70% of
         the result bytes and not part of the serving contract; call
@@ -760,6 +826,37 @@ class LocalizationPipeline:
         k_all = rerank_k if rerank_k > top_k else top_k
         sims, top_idx = topk_retrieval(text_enc, cell_enc, k_all)
 
+        eff_rerank = rerank_k
+        if prune_m and top_k < prune_m < k_all:
+            model = self.fine.model
+            cheap = self._cheap_matcher(prune_layers, prune_sinkhorn)
+            hint_enc = model.apply(
+                {"params": fine_state.params,
+                 "batch_stats": fine_state.batch_stats},
+                hint_tokens, hint_lengths, method=type(model).encode_hints)
+            B = top_idx.shape[0]
+            flat = top_idx.reshape(B * k_all)
+            if cheap_bank is not None:
+                dt = model.dtype or jnp.float32
+                obj_c = (cheap_bank[flat].astype(dt)
+                         * cheap_scale[flat].astype(dt))
+            else:
+                obj_c = obj_enc_bank[flat]
+            ctr_c = centers_xy_bank[flat]
+            _, _, _, _, c_conf, c_spread = self._match_from_enc(
+                fine_state, obj_c.reshape(B, k_all, *obj_c.shape[1:]),
+                ctr_c.reshape(B, k_all, *ctr_c.shape[1:]), hint_enc,
+                model=cheap)
+            score = c_conf.astype(jnp.float32)
+            if rerank_lambda:
+                score = score + rerank_lambda * sims.astype(jnp.float32)
+            if rerank_gamma:
+                score = score - rerank_gamma * c_spread.astype(jnp.float32)
+            keep = jnp.argsort(-score, axis=1, stable=True)[:, :prune_m]
+            top_idx = jnp.take_along_axis(top_idx, keep, axis=1)
+            sims = jnp.take_along_axis(sims, keep, axis=1)
+            eff_rerank = prune_m
+
         match = (self._match_chunk_fused if self._gnn_folded is not None
                  else self._match_chunk_cached)
         _, pos_mean, pos_offsets, confidences, conf_scores, spreads = match(
@@ -767,7 +864,7 @@ class LocalizationPipeline:
             hint_tokens, hint_lengths)
         return self._compact_results(top_idx, pos_mean, pos_offsets,
                                      confidences, conf_scores, top_k,
-                                     rerank_k, cell_enc.shape[0],
+                                     eff_rerank, cell_enc.shape[0],
                                      sims=sims, rerank_lambda=rerank_lambda,
                                      spreads=spreads,
                                      rerank_gamma=rerank_gamma)

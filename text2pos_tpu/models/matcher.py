@@ -126,6 +126,39 @@ class SuperGlueMatch(nn.Module):
             "offsets": offsets,          # [B, H, 2]
         }
 
+    def forward_rank(self, hint_tokens, hint_lengths, points_xyz,
+                     points_rgb, centers, colors, class_idx, color_idx,
+                     num_negs: int, train: bool = True
+                     ) -> Dict[str, jnp.ndarray]:
+        """Standard forward PLUS the transport matrices of each query's
+        hints matched against ``num_negs`` OTHER cells of the batch
+        (cyclic shifts of the object encodings — every negative is a real
+        cell from a different pose). Drives the rank-aware fine loss
+        (train.losses.listwise_rank_loss): serving re-ranks candidate
+        cells by match confidence, so the confidence must be trained to
+        order cells, which the reference's per-pair matching NLL
+        (/root/reference/training/fine.py:56-63) never does.
+
+        Returns match_encoded's dict plus ``neg_P`` [R, B, M+1, N+1].
+        The object/hint encoders run ONCE; negatives reuse the encodings,
+        so the extra cost is R matcher passes. Negatives run before the
+        diagonal pass so the BN running statistics end on the real pairs.
+        """
+        hint_enc = self.encode_hints(hint_tokens, hint_lengths)
+        obj_enc = self.encode_cell_objects(
+            points_xyz, points_rgb, centers, colors, class_idx, color_idx,
+            train=train)
+        neg_P = []
+        for r in range(1, num_negs + 1):
+            nout = self.superglue(jnp.roll(obj_enc, r, axis=0), hint_enc,
+                                  train=train)
+            neg_P.append(nout["P"])
+        out = self.match_encoded(obj_enc, hint_enc, train=train)
+        out["neg_P"] = (jnp.stack(neg_P) if neg_P
+                        else jnp.zeros((0,) + out["P"].shape,
+                                       out["P"].dtype))
+        return out
+
     def __call__(
         self,
         hint_tokens: jnp.ndarray,    # [B, H, T] token ids per hint

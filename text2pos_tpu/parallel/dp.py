@@ -224,7 +224,9 @@ def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
 
 
 def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
-                   rerank_lambda: float = 0.0, rerank_gamma: float = 0.0):
+                   rerank_lambda: float = 0.0, rerank_gamma: float = 0.0,
+                   prune_m: int = 0, prune_layers: int = 1,
+                   prune_sinkhorn: int = 10):
     """Shard end-to-end serving over the mesh: queries split across
     devices, the (small) retrieval DB and fine bank replicated. Serving is
     embarrassingly parallel — no collectives beyond the output gather.
@@ -246,7 +248,8 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
         return pipe.serve_batch(cstate, fstate, tokens, lengths,
                                 hint_tokens, hint_lengths, cell_enc, top_k,
                                 bank0, bank1, rerank_k, rerank_lambda,
-                                rerank_gamma)
+                                rerank_gamma, prune_m, prune_layers,
+                                prune_sinkhorn)
 
     sharded = shard_map(
         per_device, mesh=mesh,
@@ -269,7 +272,9 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
                              rerank_k: int = 0,
                              num_real_cells: Optional[int] = None,
                              rerank_lambda: float = 0.0,
-                             rerank_gamma: float = 0.0):
+                             rerank_gamma: float = 0.0,
+                             prune_m: int = 0, prune_layers: int = 1,
+                             prune_sinkhorn: int = 10):
     """Serving with BOTH queries and the map sharded over the mesh — for
     city-scale DBs larger than one chip's HBM (the replicated-DB
     ``dp_serve_batch`` above is preferable whenever the map fits).
@@ -326,8 +331,17 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
             cat_v = jnp.concatenate([best_v, scores], axis=1)
             cat_i = jnp.concatenate(
                 [best_i, jnp.broadcast_to(gidx[None, :], (q, Cs))], axis=1)
-            best_v, sel = jax.lax.top_k(cat_v, k_loc)
-            best_i = jnp.take_along_axis(cat_i, sel, axis=1)
+            # Two-key sort (score desc, global index asc) instead of
+            # lax.top_k: the ring visits shards in (d0, d0-1, …) order, so
+            # top_k's positional tie-break would prefer the incumbent /
+            # visit order, while single-device lax.top_k over the global
+            # score matrix prefers the LOWEST GLOBAL INDEX on exact ties.
+            # Sorting on (−score, gidx) reproduces that order exactly —
+            # keeping the "bit-identical to the replicated-DB mode" claim
+            # (and dryrun_multichip's exact-equality asserts) true even
+            # when coarse scores tie.
+            sv, si = jax.lax.sort((-cat_v, cat_i), dimension=1, num_keys=2)
+            best_v, best_i = -sv[:, :k_loc], si[:, :k_loc]
             cells = jax.lax.ppermute(cells, axis, perm_fwd)
             return (best_v, best_i, cells, (src + D - 1) % D), None
 
@@ -354,13 +368,40 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
         (obj_enc, centers_xy, _, _, _), _ = jax.lax.scan(
             gather_step, init, None, length=D)
 
+        # ---- optional cascaded prune on the gathered candidates ----
+        # Cheap truncated-matcher pass over all k_loc ring-gathered
+        # candidates, keep the top prune_m by the blended cheap score,
+        # full fine pass only on those (pipeline.serve_batch's cascade,
+        # on already-gathered encodings — no second ring needed).
+        eff_rerank = rerank_k if k_loc > top_k else 0
+        model = pipe.fine.model
+        hint_enc = model.apply(
+            {"params": fstate.params, "batch_stats": fstate.batch_stats},
+            hint_tokens_l, hint_lengths_l, method=type(model).encode_hints)
+        if prune_m and top_k < prune_m < k_loc:
+            cheap = pipe._cheap_matcher(prune_layers, prune_sinkhorn)
+            _, _, _, _, c_conf, c_spread = pipe._match_from_enc(
+                fstate, obj_enc, centers_xy, hint_enc, model=cheap)
+            score = c_conf.astype(jnp.float32)
+            if rerank_lambda:
+                score = score + rerank_lambda * sims.astype(jnp.float32)
+            if rerank_gamma:
+                score = score - rerank_gamma * c_spread.astype(jnp.float32)
+            keep = jnp.argsort(-score, axis=1, stable=True)[:, :prune_m]
+            top_idx = jnp.take_along_axis(top_idx, keep, axis=1)
+            sims = jnp.take_along_axis(sims, keep, axis=1)
+            obj_enc = jnp.take_along_axis(obj_enc, keep[..., None, None],
+                                          axis=1)
+            centers_xy = jnp.take_along_axis(centers_xy,
+                                             keep[..., None, None], axis=1)
+            eff_rerank = prune_m
+
         # ---- local fine matching + shared rerank/compact tail ----
         _, pos_mean, pos_offsets, confidences, conf_scores, spreads = (
-            pipe._match_gathered(fstate, obj_enc, centers_xy,
-                                 hint_tokens_l, hint_lengths_l))
+            pipe._match_from_enc(fstate, obj_enc, centers_xy, hint_enc))
         return pipe._compact_results(
             top_idx, pos_mean, pos_offsets, confidences, conf_scores,
-            min(top_k, num_cells), rerank_k if k_loc > top_k else 0,
+            min(top_k, num_cells), eff_rerank,
             num_cells, sims=sims, rerank_lambda=rerank_lambda,
             spreads=spreads, rerank_gamma=rerank_gamma)
 

@@ -21,6 +21,7 @@ jitted program per batch (``serve_batch``).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -42,7 +43,9 @@ class LocalizationServer:
                  calibration_hints: Optional[Sequence[Sequence[str]]] = None,
                  data_parallel: int = 1, rerank_k: int = 0,
                  shard_db: bool = False, rerank_lambda: float = 0.0,
-                 rerank_gamma: float = 0.0):
+                 rerank_gamma: float = 0.0, prune_m: int = 0,
+                 prune_layers: int = 1, prune_sinkhorn: int = 10,
+                 int8_cheap_bank: bool = False):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
@@ -81,6 +84,18 @@ class LocalizationServer:
                 city-scale maps larger than one chip's HBM. Per-device
                 memory for the DB drops by the mesh size; results are
                 bit-identical to the replicated-DB mode.
+            prune_m: CASCADED re-ranking (requires ``rerank_k > prune_m
+                > top_k``): cheap-score all rerank_k candidates with a
+                truncated matcher, keep the best prune_m, full
+                fine-match only those. Collapses the brute-force
+                re-ranking's throughput cliff at ~no accuracy cost
+                (pipeline.serve_batch docstring).
+            prune_layers / prune_sinkhorn: depth of the cheap pass
+                (GNN self/cross pairs of the trained matcher; Sinkhorn
+                iterations).
+            int8_cheap_bank: feed the cheap pass an int8-quantized fine
+                bank (per-object scales) — halves the widest gather's
+                HBM traffic. Single-device serving only.
         """
         from text2pos_tpu.data.dense import build_cell_bank
         from text2pos_tpu.evaluation.pipeline import (
@@ -91,6 +106,12 @@ class LocalizationServer:
         self.rerank_k = rerank_k
         self.rerank_lambda = float(rerank_lambda)
         self.rerank_gamma = float(rerank_gamma)
+        self.prune_m = int(prune_m)
+        self.prune_layers = int(prune_layers)
+        self.prune_sinkhorn = int(prune_sinkhorn)
+        if prune_m and not (top_k < prune_m < rerank_k):
+            raise ValueError(f"cascaded re-ranking needs top_k < prune_m "
+                             f"< rerank_k, got {top_k}/{prune_m}/{rerank_k}")
         pipe, vocab, _ = build_pipeline_from_checkpoints(
             self.cfg, path_coarse, path_fine, dtype=dtype)
         self.vocab = vocab
@@ -124,6 +145,14 @@ class LocalizationServer:
                                                        self._bank_dev)
         self.pipe = pipe
 
+        self.cheap_bank = (None, None)
+        if int8_cheap_bank:
+            if data_parallel > 1:
+                raise ValueError("int8_cheap_bank is single-device only")
+            from text2pos_tpu.evaluation.pipeline import quantize_fine_bank
+
+            self.cheap_bank = quantize_fine_bank(self.fine_bank[0])
+
         self._dp_serve = None
         if data_parallel > 1:
             if not calibrate:
@@ -152,12 +181,16 @@ class LocalizationServer:
                 self._dp_serve = dp_serve_batch_dbsharded(
                     pipe, make_mesh(data_parallel), k, rk,
                     num_real_cells=C, rerank_lambda=self.rerank_lambda,
-                    rerank_gamma=self.rerank_gamma)
+                    rerank_gamma=self.rerank_gamma, prune_m=self.prune_m,
+                    prune_layers=self.prune_layers,
+                    prune_sinkhorn=self.prune_sinkhorn)
             else:
                 self._dp_serve = dp_serve_batch(
                     pipe, make_mesh(data_parallel), k, rk,
                     rerank_lambda=self.rerank_lambda,
-                    rerank_gamma=self.rerank_gamma)
+                    rerank_gamma=self.rerank_gamma, prune_m=self.prune_m,
+                    prune_layers=self.prune_layers,
+                    prune_sinkhorn=self.prune_sinkhorn)
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -257,7 +290,8 @@ class LocalizationServer:
             jnp.asarray(ln), jnp.asarray(htk), jnp.asarray(hln),
             self.cell_enc, k, self.fine_bank[0], self.fine_bank[1],
             min(self.rerank_k, self.bank.num_cells), self.rerank_lambda,
-            self.rerank_gamma)
+            self.rerank_gamma, self.prune_m, self.prune_layers,
+            self.prune_sinkhorn, self.cheap_bank[0], self.cheap_bank[1])
 
     def localize(self, hint_lists: Sequence[Sequence[str]],
                  pad_short_queries: bool = False) -> Dict:
@@ -392,6 +426,17 @@ def main(argv=None):
     import json
     import sys
 
+    # Persistent compilation cache (same as bench.py): the offline map
+    # encode + BN calibration are the biggest XLA programs in the system
+    # and the remote-attached TPU runtime compiles slowly per process.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("T2P_COMPILE_CACHE",
+                                         "/tmp/t2p_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser(
         description="Text2Pos serving: JSON-lines text→position")
     ap.add_argument("--path_coarse", required=True)
@@ -418,6 +463,19 @@ def main(argv=None):
                     help="penalty weight of the matched position votes' "
                          "spread in the re-ranking score (− γ·spread); "
                          "γ≈6 is the strongest signal at wide pools")
+    ap.add_argument("--prune_m", type=int, default=0,
+                    help="cascaded re-ranking: cheap-score all rerank_k "
+                         "candidates with a truncated matcher, full "
+                         "fine-match only the best prune_m (0 = off; "
+                         "needs top_k < prune_m < rerank_k)")
+    ap.add_argument("--prune_layers", type=int, default=1,
+                    help="GNN self/cross pairs in the cascade's cheap pass")
+    ap.add_argument("--prune_sinkhorn", type=int, default=10,
+                    help="Sinkhorn iterations in the cascade's cheap pass")
+    ap.add_argument("--int8_cheap_bank", action="store_true",
+                    help="int8-quantized fine bank for the cheap pass "
+                         "(halves the widest gather's HBM traffic; "
+                         "single-device serving only)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=64)
@@ -464,7 +522,10 @@ def main(argv=None):
         dtype=None if args.dtype == "float32" else args.dtype,
         calibrate=not args.no_calibrate, data_parallel=args.data_parallel,
         rerank_k=args.rerank_k, shard_db=args.shard_db,
-        rerank_lambda=args.rerank_lambda, rerank_gamma=args.rerank_gamma)
+        rerank_lambda=args.rerank_lambda, rerank_gamma=args.rerank_gamma,
+        prune_m=args.prune_m, prune_layers=args.prune_layers,
+        prune_sinkhorn=args.prune_sinkhorn,
+        int8_cheap_bank=args.int8_cheap_bank)
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)
 

@@ -118,23 +118,61 @@ class FineTrainer:
         return TrainState.create(variables["params"],
                                  variables.get("batch_stats", {}), tx)
 
+    def _loss_fn(self, params, batch_stats, batch, pts, cols):
+        """Shared fine-training objective (plain + fused trainers):
+        matching NLL + 5·MSE(offsets) (reference fine.py:56-63), plus —
+        with cfg.rank_weight > 0 — the listwise rank-aware term over
+        in-batch negative cells (losses.listwise_rank_loss): serving
+        re-ranks candidates by match confidence, so the confidence is
+        trained to ORDER cells, not just to match within the true one."""
+        cfg = self.cfg
+        R = cfg.rank_negatives if cfg.rank_weight > 0 else 0
+        variables = {"params": params, "batch_stats": batch_stats}
+        if R > 0:
+            out, updates = self.model.apply(
+                variables, batch["hint_tokens"], batch["hint_lengths"],
+                pts, cols, batch["centers"], batch["colors"],
+                batch["class_idx"], batch["color_idx"], R, True,
+                mutable=["batch_stats"],
+                method=type(self.model).forward_rank,
+            )
+        else:
+            out, updates = self.model.apply(
+                variables, batch["hint_tokens"], batch["hint_lengths"],
+                pts, cols, batch["centers"], batch["colors"],
+                batch["class_idx"], batch["color_idx"], train=True,
+                mutable=["batch_stats"],
+            )
+        loss_match = matching_loss(out["log_P"], batch["all_matches"],
+                                   batch["all_matches_count"])
+        loss_off = jnp.mean((out["offsets"] - batch["offsets"]) ** 2)
+        loss = loss_match + OFFSET_LOSS_WEIGHT * loss_off
+        if R > 0:
+            from text2pos_tpu.train.losses import (listwise_rank_loss,
+                                                   soft_rank_score)
+
+            ctr = batch["centers"][..., 0:2]
+            pos_s = soft_rank_score(out["P"], ctr, out["offsets"],
+                                    cfg.rank_gamma)
+            neg_ctr = jnp.stack([jnp.roll(ctr, r, axis=0)
+                                 for r in range(1, R + 1)])    # [R, B, M, 2]
+            neg_s = soft_rank_score(out["neg_P"], neg_ctr,
+                                    out["offsets"][None], cfg.rank_gamma)
+            # A rolled negative can land on the query's OWN cell (several
+            # poses share a cell); exclude those from the softmax.
+            same_cell = jnp.all(neg_ctr == ctr[None], axis=(-2, -1))
+            neg_s = jnp.where(same_cell, -jnp.inf, neg_s)
+            loss = loss + cfg.rank_weight * listwise_rank_loss(
+                pos_s, neg_s, cfg.rank_tau)
+        return loss, (updates["batch_stats"], out, loss_match, loss_off)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         pts, cols = self._prep(batch, rng, augment=True)
 
         def loss_fn(params):
-            out, updates = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["hint_tokens"], batch["hint_lengths"], pts, cols,
-                batch["centers"], batch["colors"], batch["class_idx"],
-                batch["color_idx"], train=True, mutable=["batch_stats"],
-            )
-            loss_match = matching_loss(out["log_P"], batch["all_matches"],
-                                       batch["all_matches_count"])
-            loss_off = jnp.mean((out["offsets"] - batch["offsets"]) ** 2)
-            loss = loss_match + OFFSET_LOSS_WEIGHT * loss_off
-            return loss, (updates["batch_stats"], out, loss_match, loss_off)
+            return self._loss_fn(params, state.batch_stats, batch, pts, cols)
 
         (loss, (new_bs, out, lm, lo)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -366,15 +366,18 @@ class FusedCoarseTrainer(CoarseTrainer):
                 state, self.dev, jnp.asarray(step_idx), erng)
             return state, float(loss)
         verbose = os.environ.get("T2P_FUSED_VERBOSE") == "1"
-        losses = []
+        losses, seg_lengths = [], []
         for i, s0 in enumerate(range(0, steps, seg)):
             t0 = time.time()
             state, loss = self._fused_epoch(
                 state, self.dev, jnp.asarray(step_idx[s0:s0 + seg]),
                 jax.random.fold_in(erng, i))
             losses.append(float(loss))  # sync: bounds in-flight work
+            seg_lengths.append(min(s0 + seg, steps) - s0)
             if verbose:
                 print(f"    seg {i} steps {s0}..{min(s0+seg, steps)} "
                       f"loss {losses[-1]:0.3f} ({time.time()-t0:0.1f}s)",
                       flush=True)
-        return state, float(np.mean(losses))
+        # Per-step mean, not per-segment mean: the final remainder segment
+        # has fewer steps and must not be overweighted in the epoch loss.
+        return state, float(np.average(losses, weights=seg_lengths))

@@ -25,8 +25,7 @@ from text2pos_tpu.config import TrainConfig
 from text2pos_tpu.data.hints import Vocabulary
 from text2pos_tpu.data.loaders import FineLoader
 from text2pos_tpu.ops.transforms import prepare_object_points
-from text2pos_tpu.train.fine import OFFSET_LOSS_WEIGHT, FineTrainer
-from text2pos_tpu.train.losses import matching_loss
+from text2pos_tpu.train.fine import FineTrainer
 from text2pos_tpu.train.state import TrainState
 
 _BATCH_KEYS = (
@@ -68,16 +67,11 @@ class FusedFineTrainer(FineTrainer):
             no_pc_augment=cfg.no_pc_augment)
 
         def loss_fn(params):
-            out, updates = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["hint_tokens"], batch["hint_lengths"], pts, cols,
-                batch["centers"], batch["colors"], batch["class_idx"],
-                batch["color_idx"], train=True, mutable=["batch_stats"])
-            loss = matching_loss(out["log_P"], batch["all_matches"],
-                                 batch["all_matches_count"])
-            loss = loss + OFFSET_LOSS_WEIGHT * jnp.mean(
-                (out["offsets"] - batch["offsets"]) ** 2)
-            return loss, updates["batch_stats"]
+            # Shared objective incl. the optional rank-aware term
+            # (FineTrainer._loss_fn).
+            loss, (new_bs, _out, _lm, _lo) = self._loss_fn(
+                params, state.batch_stats, batch, pts, cols)
+            return loss, new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -116,15 +110,17 @@ class FusedFineTrainer(FineTrainer):
                                             jnp.asarray(step_idx), erng)
             return state, float(loss)
         verbose = os.environ.get("T2P_FUSED_VERBOSE") == "1"
-        losses = []
+        losses, seg_lengths = [], []
         for i, s0 in enumerate(range(0, steps, seg)):
             t0 = time.time()
             state, loss = self._fused_epoch(
                 state, self.dev, jnp.asarray(step_idx[s0:s0 + seg]),
                 jax.random.fold_in(erng, i))
             losses.append(float(loss))
+            seg_lengths.append(min(s0 + seg, steps) - s0)
             if verbose:
                 print(f"    seg {i} steps {s0}..{min(s0+seg, steps)} "
                       f"loss {losses[-1]:0.3f} ({time.time()-t0:0.1f}s)",
                       flush=True)
-        return state, float(np.mean(losses))
+        # Per-step mean: don't overweight the shorter remainder segment.
+        return state, float(np.average(losses, weights=seg_lengths))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from text2pos_tpu.models.matcher import get_pos_in_cell
@@ -163,3 +164,59 @@ def calc_pose_error(centers_xy: jnp.ndarray, matches0: jnp.ndarray,
         return jnp.mean(err)
     mf = sample_mask.astype(err.dtype)
     return jnp.sum(err * mf) / jnp.maximum(jnp.sum(mf), 1.0)
+
+
+def soft_rank_score(P: jnp.ndarray, centers_xy: jnp.ndarray,
+                    offsets: jnp.ndarray, gamma: float = 0.0
+                    ) -> jnp.ndarray:
+    """Differentiable surrogate of the serving re-ranking score for one
+    (query, cell) transport matrix.
+
+    Serving scores candidates by ``conf + λ·sim − γ·spread`` where conf is
+    the summed matched transport mass after hard mutual-max extraction and
+    spread the RMS disagreement of the matched hints' position votes
+    (evaluation/pipeline._match_confidence_scores/_match_vote_spread).
+    Both are non-differentiable through the argmax; the soft surrogate
+    replaces hard matches with the transport weights themselves:
+
+      mass      = Σ_{m,n} P[m, n]                 (non-dustbin block)
+      pos_h     = Σ_m P[m, h]·center_m / Σ_m P[m, h]
+      vote_h    = pos_h + offset_h, weighted by w_h = Σ_m P[m, h]
+      spread    = sqrt(Σ_h w_h·‖vote_h − mean‖² / Σ_h w_h)
+      score     = mass − γ·spread
+
+    Args:
+        P: [..., M+1, N+1] transport probabilities (with dustbins)
+        centers_xy: [..., M, 2] object centers (cell-normalized)
+        offsets: [..., N, 2] per-hint offset predictions
+        gamma: soft vote-spread penalty weight
+
+    Returns: [...] float32 scores.
+    """
+    T = P[..., :-1, :-1].astype(jnp.float32)          # [..., M, N]
+    mass = jnp.sum(T, axis=(-2, -1))
+    if not gamma:
+        return mass
+    w_h = jnp.sum(T, axis=-2)                          # [..., N]
+    denom = jnp.maximum(w_h, 1e-9)[..., None]
+    pos_h = jnp.einsum("...mn,...md->...nd", T,
+                       centers_xy.astype(jnp.float32)) / denom
+    votes = pos_h + offsets.astype(jnp.float32)        # [..., N, 2]
+    wsum = jnp.maximum(jnp.sum(w_h, axis=-1), 1e-9)
+    mean_v = (jnp.sum(votes * w_h[..., None], axis=-2)
+              / wsum[..., None])                       # [..., 2]
+    d2 = jnp.sum((votes - mean_v[..., None, :]) ** 2, axis=-1)
+    spread = jnp.sqrt(jnp.sum(d2 * w_h, axis=-1) / wsum + 1e-12)
+    return mass - gamma * spread
+
+
+def listwise_rank_loss(pos_score: jnp.ndarray, neg_scores: jnp.ndarray,
+                       tau: float = 1.0) -> jnp.ndarray:
+    """Listwise softmax cross-entropy: −log σ(s⁺/τ over {s⁺, s⁻…}).
+
+    Args:
+        pos_score: [B] true-cell scores
+        neg_scores: [R, B] negative-cell scores
+    """
+    logits = jnp.concatenate([pos_score[None], neg_scores], axis=0) / tau
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=0)[0])
