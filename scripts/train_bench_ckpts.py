@@ -115,6 +115,8 @@ def main():
     ap.add_argument("--neg_bank_weight", type=float, default=1.0)
     ap.add_argument("--neg_bank_hardest", type=int, default=8)
     ap.add_argument("--neg_bank_warmup", type=int, default=2)
+    ap.add_argument("--neg_bank_refresh", type=int, default=1,
+                    help="bank re-embeds per epoch (mining staleness)")
     ap.add_argument("--eval_every", type=int, default=1)
     ap.add_argument("--rank_weight", type=float, default=0.0,
                     help="rank-aware fine loss weight (listwise softmax "
@@ -192,6 +194,7 @@ def main():
             neg_bank_weight=args.neg_bank_weight,
             neg_bank_hardest=args.neg_bank_hardest,
             neg_bank_warmup=args.neg_bank_warmup,
+            neg_bank_refresh=args.neg_bank_refresh,
             eval_every=args.eval_every,
             continue_path=args.coarse_continue, **pn_kwargs)
         t0 = time.time()

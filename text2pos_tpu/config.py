@@ -97,6 +97,7 @@ class TrainConfig:
     neg_bank_hardest: int = 8         # hardest bank negatives per anchor
     neg_bank_weight: float = 1.0      # weight of the bank term in the loss
     neg_bank_warmup: int = 2          # epochs before the bank term turns on
+    neg_bank_refresh: int = 1         # bank re-embeds per epoch (staleness ↓)
     eval_every: int = 1               # run the retrieval eval every N epochs
     # Rank-aware fine training (TPU-native addition): listwise loss on a
     # differentiable surrogate of the SERVING re-ranking score — each

@@ -343,7 +343,8 @@ class FusedCoarseTrainer(CoarseTrainer):
         steps = self.num_poses // B
         if steps == 0:
             return state, float("nan")
-        if self.cfg.neg_bank and epoch > self.cfg.neg_bank_warmup:
+        bank_active = self.cfg.neg_bank and epoch > self.cfg.neg_bank_warmup
+        if bank_active:
             # Bank term active this epoch: re-embed the database with the
             # parameters as of the previous epoch's end.
             self.refresh_neg_bank(state)
@@ -366,8 +367,19 @@ class FusedCoarseTrainer(CoarseTrainer):
                 state, self.dev, jnp.asarray(step_idx), erng)
             return state, float(loss)
         verbose = os.environ.get("T2P_FUSED_VERBOSE") == "1"
+        num_segs = -(-steps // seg)
+        # Mid-epoch bank refreshes (cfg.neg_bank_refresh > 1): the memory
+        # bank's staleness bounds how accurate the hardest-negative mining
+        # is — with one refresh per epoch the last steps mine against
+        # embeddings a whole epoch old. Refreshing every
+        # num_segs/refresh segments costs ~C/B extra eval-encode steps per
+        # refresh and keeps mining aligned with the current parameters.
+        refresh_every = (max(1, num_segs // max(self.cfg.neg_bank_refresh, 1))
+                         if bank_active else 0)
         losses, seg_lengths = [], []
         for i, s0 in enumerate(range(0, steps, seg)):
+            if refresh_every and i and i % refresh_every == 0:
+                self.refresh_neg_bank(state)
             t0 = time.time()
             state, loss = self._fused_epoch(
                 state, self.dev, jnp.asarray(step_idx[s0:s0 + seg]),
