@@ -767,6 +767,17 @@ def run():
     # gamma*spread, gamma=6 lifts top-10@15m 0.715 -> ~0.779 offline at
     # K'=100-128 (top-1 0.385 -> 0.520); stable across split halves.
     RERANK_GAMMA = float(os.environ.get("T2P_BENCH_RERANK_GAMMA", 6.0))
+    # Cascaded re-ranking (serve_batch prune_m): cheap truncated-matcher
+    # pass over all RERANK_K candidates, full fine pass only on the top
+    # PRUNE_M. Operating point from scripts/sweep_cascade.py on the
+    # trained checkpoints: L1:S6 keeps brute-rerank accuracy to within
+    # noise (0.7798 @ M=32 vs 0.7793 brute) at a fraction of the full
+    # fine compute. PRUNE_M=0 disables the third operating point.
+    PRUNE_M = int(os.environ.get("T2P_BENCH_PRUNE_M", 24))
+    PRUNE_LAYERS = int(os.environ.get("T2P_BENCH_PRUNE_LAYERS", 1))
+    PRUNE_SINKHORN = int(os.environ.get("T2P_BENCH_PRUNE_SINKHORN", 6))
+    PRUNE_INT8 = os.environ.get("T2P_BENCH_PRUNE_INT8", "1") == "1"
+    PRUNE_SOFT = os.environ.get("T2P_BENCH_PRUNE_SOFT", "0") == "1"
     if (RERANK_K > TOP_K and bank.num_cells >= RERANK_K
             and _remaining() > 180):
         t0 = time.time()
@@ -850,6 +861,94 @@ def run():
         print(json.dumps(record), flush=True)
     elif RERANK_K > TOP_K:
         print(f"# rerank: skipped ({_remaining():0.0f}s budget left)",
+              flush=True)
+
+    # ------------------------------------------------------------------
+    # CASCADED re-ranking operating point (round-5 headline): cheap
+    # truncated-matcher pass over all RERANK_K candidates (optionally
+    # against an int8 bank), full fine pass only on the top PRUNE_M —
+    # one operating point that is simultaneously accurate AND fast,
+    # collapsing the brute-rerank throughput cliff.
+    # ------------------------------------------------------------------
+    if (PRUNE_M and TOP_K < PRUNE_M < RERANK_K
+            and bank.num_cells >= RERANK_K and _remaining() > 150):
+        t0 = time.time()
+        cheap = ()
+        if PRUNE_INT8:
+            from text2pos_tpu.evaluation.pipeline import quantize_fine_bank
+
+            cheap = quantize_fine_bank(fine_bank[0])
+        cs_path = SERVE_EXEC_CACHE.replace(
+            ".pkl", f"_cs{RERANK_K}m{PRUNE_M}.pkl")
+        cs_key = (f"{exec_key}|cascade{RERANK_K}|m{PRUNE_M}|L{PRUNE_LAYERS}"
+                  f"|S{PRUNE_SINKHORN}|lam{RERANK_LAMBDA}|gam{RERANK_GAMMA}"
+                  f"|int8{int(PRUNE_INT8)}|soft{int(PRUNE_SOFT)}"
+                  if exec_key else None)
+
+        def _compile_cs():
+            return type(pipe).serve_batch.lower(
+                pipe, pipe.coarse_state, pipe.fine_state, tk0, ln0, htk0,
+                hln0, cell_enc_dev, TOP_K, fine_bank[0], fine_bank[1],
+                RERANK_K, RERANK_LAMBDA, RERANK_GAMMA, PRUNE_M,
+                PRUNE_LAYERS, PRUNE_SINKHORN, PRUNE_SOFT,
+                *cheap).compile()
+
+        cs_restored = _load_serve_exec(cs_key, cs_path)
+        if cs_restored is None:
+            cs_exec = _compile_cs()
+            if cs_key:
+                _save_serve_exec(cs_key, cs_exec, cs_path)
+        else:
+            cs_exec = cs_restored[0]
+
+        def cs_dispatch(i):
+            tk, ln, htk, hln = rep_args[i]
+            return cs_exec(pipe.coarse_state, pipe.fine_state, tk, ln,
+                           htk, hln, cell_enc_dev, fine_bank[0],
+                           fine_bank[1], *cheap)
+
+        try:
+            jax.device_get(cs_dispatch(reps))  # compile+warm
+        except Exception as e:
+            if cs_restored is None:
+                raise
+            print(f"# cascade exec: restored executable failed at call "
+                  f"time ({e!r}), recompiling", flush=True)
+            cs_exec = _compile_cs()
+            if cs_key:
+                _save_serve_exec(cs_key, cs_exec, cs_path)
+            jax.device_get(cs_dispatch(reps))
+        print(f"# cascade compile+first run: {time.time()-t0:0.1f}s",
+              flush=True)
+        t0 = time.time()
+        pending = cs_dispatch(0)
+        for i in range(1, reps):
+            nxt = cs_dispatch(i)
+            out = jax.device_get(pending)
+            pending = nxt
+        out = jax.device_get(pending)
+        cs_elapsed = (time.time() - t0) / reps
+        cs_qps = len(poses) / cs_elapsed
+        cs_top = np.asarray(out[0], np.int64)[inv]
+        cs_pos = np.asarray(out[2], np.float32)[inv]
+        accs_cs = pipe._accuracies(poses, bank, cs_top, cs_pos)
+        print(f"# cascade@{RERANK_K}->m{PRUNE_M} (L{PRUNE_LAYERS}:"
+              f"S{PRUNE_SINKHORN}{', int8' if PRUNE_INT8 else ''}): "
+              f"{cs_qps:0.1f} q/s, top-{TOP_K}@15m="
+              f"{accs_cs[TOP_K][15]:0.3f} "
+              f"(top-1@15m={accs_cs[1][15]:0.3f})", flush=True)
+        record.update({
+            "cascade_prune_m": PRUNE_M,
+            "cascade_prune_layers": PRUNE_LAYERS,
+            "cascade_prune_sinkhorn": PRUNE_SINKHORN,
+            "cascade_bank_dtype": "int8" if PRUNE_INT8 else DTYPE,
+            "cascade_qps": round(cs_qps, 2),
+            "cascade_top10_at_15m": round(float(accs_cs[TOP_K][15]), 4),
+            "cascade_top1_at_15m": round(float(accs_cs[1][15]), 4),
+        })
+        print(json.dumps(record), flush=True)
+    elif PRUNE_M:
+        print(f"# cascade: skipped ({_remaining():0.0f}s budget left)",
               flush=True)
 
 

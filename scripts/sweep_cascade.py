@@ -132,10 +132,15 @@ def main() -> None:
     model = pipe.fine.model
     fs = pipe.fine_state
 
-    def pass_over_wide(match_model, tag):
+    def pass_over_wide(match_model, tag, soft=False):
         """(conf, spread, pos_offsets) of `match_model` over all kmax
-        candidate slots, chunked; also returns mean device ms/chunk."""
+        candidate slots, chunked; also returns mean device ms/chunk.
+        ``soft``: score with the soft transport mass / vote spread
+        (losses.soft_mass_and_spread) instead of hard match extraction —
+        the serve_batch prune_soft path."""
         import functools
+
+        from text2pos_tpu.train.losses import soft_mass_and_spread
 
         @functools.partial(jax.jit, static_argnums=())
         def chunk_fn(idx, htk, hln):
@@ -150,6 +155,19 @@ def main() -> None:
             hint_enc = model.apply(
                 {"params": fs.params, "batch_stats": fs.batch_stats},
                 htk, hln, method=type(model).encode_hints)
+            if soft:
+                pad = obj.shape[1]
+                hint_rep = jnp.repeat(hint_enc, K, axis=0)
+                out = match_model.apply(
+                    {"params": fs.params, "batch_stats": fs.batch_stats},
+                    obj, hint_rep, train=False,
+                    method=type(match_model).match_encoded)
+                mass, spr = soft_mass_and_spread(
+                    out["P"].reshape(B, K, pad + 1, -1),
+                    ctr.reshape(B, K, pad, 2),
+                    out["offsets"].reshape(B, K, -1, 2))
+                zero = jnp.zeros((B, K, 2), jnp.float32)
+                return (None, zero, zero, None, mass, spr)
             return pipe._match_from_enc(
                 fs, obj.reshape(B, K, *obj.shape[1:]),
                 ctr.reshape(B, K, *ctr.shape[1:]), hint_enc,
@@ -218,20 +236,23 @@ def main() -> None:
     banks = dict(wide=wide, sims=sims, err=err, full_conf=full_conf,
                  full_spread=full_spread)
     for cfg_s in args.configs:
-        L, S = (int(x) for x in cfg_s.split(":"))
+        parts = cfg_s.split(":")
+        L, S = int(parts[0]), int(parts[1])
+        soft = "soft" in parts[2:]
         cheap = pipe._cheap_matcher(L, S)
-        c_conf, c_spread, _c_pos, c_ms = pass_over_wide(cheap,
-                                                        f"L{L}:S{S}")
-        banks[f"cheap_conf_L{L}S{S}"] = c_conf
-        banks[f"cheap_spread_L{L}S{S}"] = c_spread
-        results[(L, S)] = (c_conf, c_spread, c_ms)
+        tag = f"L{L}:S{S}" + (":soft" if soft else "")
+        c_conf, c_spread, _c_pos, c_ms = pass_over_wide(cheap, tag,
+                                                        soft=soft)
+        banks[f"cheap_conf_{tag.replace(':', '_')}"] = c_conf
+        banks[f"cheap_spread_{tag.replace(':', '_')}"] = c_spread
+        results[tag] = (c_conf, c_spread, c_ms)
 
     print(f"\n# grid (final score lam={args.lam} gam={args.gam}; acc = "
           f"top-{args.top_k}@15m after full rerank of the kept M)",
           flush=True)
     print("config    M    best(lamc,gamc)  acc     top1    keep-recall",
           flush=True)
-    for (L, S), (c_conf, c_spread, c_ms) in results.items():
+    for tag, (c_conf, c_spread, c_ms) in results.items():
         for M in args.ms:
             if not args.top_k < M < kmax:
                 continue
@@ -252,7 +273,7 @@ def main() -> None:
                             err, keep, axis=1).min(axis=1) <= 15.0))
                         best = (a, top1_at(slots), lc, gc, kr)
             a, t1, lc, gc, kr = best
-            print(f"L{L}:S{S}  {M:4d}  lam={lc:g} gam={gc:g}   "
+            print(f"{tag}  {M:4d}  lam={lc:g} gam={gc:g}   "
                   f"{a:0.4f}  {t1:0.4f}  {kr:0.4f}", flush=True)
 
     if args.save:
@@ -274,7 +295,8 @@ def main() -> None:
         for spec in args.measure:
             parts = spec.split(":")
             L, S, M = int(parts[0]), int(parts[1]), int(parts[2])
-            use_int8 = len(parts) > 3 and parts[3] == "int8"
+            use_int8 = "int8" in parts[3:]
+            use_soft = "soft" in parts[3:]
             extra = ()
             if use_int8:
                 from text2pos_tpu.evaluation.pipeline import \
@@ -288,7 +310,7 @@ def main() -> None:
                 return pipe.serve_batch(
                     pipe.coarse_state, pipe.fine_state, tk, ln, htk, hln,
                     cell_enc_dev, args.top_k, fine_bank[0], fine_bank[1],
-                    kmax, args.lam, args.gam, M, L, S, *extra)
+                    kmax, args.lam, args.gam, M, L, S, use_soft, *extra)
 
             out = jax.device_get(dispatch(reps))
             print(f"# measure[{spec}]: compile+first {time.time()-t0:0.1f}s",

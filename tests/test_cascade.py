@@ -166,7 +166,7 @@ class TestCascade:
         assert np.all(err <= bound)
 
         got = _serve(pipe, cell_enc, fine_bank, dyn, K_ALL, 2.0, 1.0,
-                     M, 1, 4, qb, qs)
+                     M, 1, 4, False, qb, qs)
         assert np.asarray(got[0]).shape == (dyn[0].shape[0], TOP_K)
         assert np.all(np.isfinite(np.asarray(got[2], np.float32)))
         # The int8 cheap pass must pick (nearly) the same survivors as a
@@ -179,6 +179,56 @@ class TestCascade:
                            for x, y in zip(np.asarray(got[0], np.int64),
                                            np.asarray(ref[0], np.int64))])
         assert overlap >= 0.9
+
+
+class TestCascadeSoft:
+    def test_soft_cheap_pass_matches_manual_soft_scores(self, calibrated):
+        """serve_batch(prune_soft=True) keeps exactly the top-M by the
+        soft transport-mass/vote-spread score (losses.soft_mass_and_
+        spread) — verified against a manual mirror."""
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+        from text2pos_tpu.train.losses import soft_mass_and_spread
+
+        pipe, bank, fine_bank, cell_enc, dyn = calibrated
+        lam, gam, L, S = 2.0, 1.0, 1, 4
+        got = _serve(pipe, cell_enc, fine_bank, dyn, K_ALL, lam, gam,
+                     M, L, S, True)
+        assert np.asarray(got[0]).shape == (dyn[0].shape[0], TOP_K)
+
+        # Manual: soft cheap scores over the wide pool.
+        cmodel = pipe.coarse.model
+        text_enc = cmodel.apply(
+            {"params": pipe.coarse_state.params,
+             "batch_stats": pipe.coarse_state.batch_stats},
+            dyn[0], dyn[1], method=type(cmodel).encode_text)
+        sims, wide = topk_retrieval(text_enc, cell_enc, K_ALL)
+        fmodel = pipe.fine.model
+        variables = {"params": pipe.fine_state.params,
+                     "batch_stats": pipe.fine_state.batch_stats}
+        hint_enc = fmodel.apply(variables, dyn[2], dyn[3],
+                                method=type(fmodel).encode_hints)
+        cheap = fmodel.clone(num_layers=L, sinkhorn_iters=S)
+        B = wide.shape[0]
+        flat = wide.reshape(-1)
+        obj = fine_bank[0][flat]
+        ctr = fine_bank[1][flat]
+        pad = obj.shape[1]
+        out = cheap.apply(variables, obj,
+                          jnp.repeat(hint_enc, K_ALL, axis=0),
+                          train=False, method=type(cheap).match_encoded)
+        mass, spr = soft_mass_and_spread(
+            out["P"].reshape(B, K_ALL, pad + 1, -1),
+            ctr.reshape(B, K_ALL, pad, 2),
+            out["offsets"].reshape(B, K_ALL, -1, 2))
+        score = (np.asarray(mass) + lam * np.asarray(sims, np.float32)
+                 - gam * np.asarray(spr))
+        keep = np.argsort(-score, axis=1, kind="stable")[:, :M]
+        rows = np.arange(B)[:, None]
+        kept_idx = np.asarray(wide)[rows, keep]
+        # The final top-k must be a subset of the soft-kept set, per row.
+        got_idx = np.asarray(got[0], np.int64)
+        for r in range(B):
+            assert set(got_idx[r]) <= set(kept_idx[r])
 
 
 class TestCascadeDP:

@@ -759,7 +759,7 @@ class LocalizationPipeline:
         return cache[key]
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 8, 11, 12, 13, 14, 15, 16))
+                       static_argnums=(0, 8, 11, 12, 13, 14, 15, 16, 17))
     def serve_batch(self, coarse_state: TrainState, fine_state: TrainState,
                     tokens: jnp.ndarray, lengths: jnp.ndarray,
                     hint_tokens: jnp.ndarray, hint_lengths: jnp.ndarray,
@@ -768,6 +768,7 @@ class LocalizationPipeline:
                     rerank_k: int = 0, rerank_lambda: float = 0.0,
                     rerank_gamma: float = 0.0, prune_m: int = 0,
                     prune_layers: int = 1, prune_sinkhorn: int = 10,
+                    prune_soft: bool = False,
                     cheap_bank: Optional[jnp.ndarray] = None,
                     cheap_scale: Optional[jnp.ndarray] = None):
         """Localize a batch of queries end-to-end in ONE jitted program:
@@ -843,10 +844,32 @@ class LocalizationPipeline:
             else:
                 obj_c = obj_enc_bank[flat]
             ctr_c = centers_xy_bank[flat]
-            _, _, _, _, c_conf, c_spread = self._match_from_enc(
-                fine_state, obj_c.reshape(B, k_all, *obj_c.shape[1:]),
-                ctr_c.reshape(B, k_all, *ctr_c.shape[1:]), hint_enc,
-                model=cheap)
+            if prune_soft:
+                # Soft cheap scores straight from the transport matrix
+                # (losses.soft_mass_and_spread) — no mutual-max
+                # extraction, no hard-match gathers; XLA dead-code-
+                # eliminates the extraction ops of match_encoded. Also
+                # the very surrogate the rank-aware fine loss trains
+                # (losses.soft_rank_score), so a rank-trained model's
+                # cheap pass scores with the signal it was optimized on.
+                from text2pos_tpu.train.losses import soft_mass_and_spread
+
+                pad = obj_c.shape[1]
+                hint_rep = jnp.repeat(hint_enc, k_all, axis=0)
+                out = cheap.apply(
+                    {"params": fine_state.params,
+                     "batch_stats": fine_state.batch_stats},
+                    obj_c, hint_rep, train=False,
+                    method=type(cheap).match_encoded)
+                P = out["P"].reshape(B, k_all, pad + 1, -1)
+                offs = out["offsets"].reshape(B, k_all, -1, 2)
+                c_conf, c_spread = soft_mass_and_spread(
+                    P, ctr_c.reshape(B, k_all, pad, 2), offs)
+            else:
+                _, _, _, _, c_conf, c_spread = self._match_from_enc(
+                    fine_state, obj_c.reshape(B, k_all, *obj_c.shape[1:]),
+                    ctr_c.reshape(B, k_all, *ctr_c.shape[1:]), hint_enc,
+                    model=cheap)
             score = c_conf.astype(jnp.float32)
             if rerank_lambda:
                 score = score + rerank_lambda * sims.astype(jnp.float32)

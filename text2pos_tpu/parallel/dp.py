@@ -226,7 +226,7 @@ def dp_encode_all_cells(trainer, state: TrainState, bank, mesh: Mesh,
 def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
                    rerank_lambda: float = 0.0, rerank_gamma: float = 0.0,
                    prune_m: int = 0, prune_layers: int = 1,
-                   prune_sinkhorn: int = 10):
+                   prune_sinkhorn: int = 10, prune_soft: bool = False):
     """Shard end-to-end serving over the mesh: queries split across
     devices, the (small) retrieval DB and fine bank replicated. Serving is
     embarrassingly parallel — no collectives beyond the output gather.
@@ -249,7 +249,7 @@ def dp_serve_batch(pipe, mesh: Mesh, top_k: int, rerank_k: int = 0,
                                 hint_tokens, hint_lengths, cell_enc, top_k,
                                 bank0, bank1, rerank_k, rerank_lambda,
                                 rerank_gamma, prune_m, prune_layers,
-                                prune_sinkhorn)
+                                prune_sinkhorn, prune_soft)
 
     sharded = shard_map(
         per_device, mesh=mesh,
@@ -274,7 +274,8 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
                              rerank_lambda: float = 0.0,
                              rerank_gamma: float = 0.0,
                              prune_m: int = 0, prune_layers: int = 1,
-                             prune_sinkhorn: int = 10):
+                             prune_sinkhorn: int = 10,
+                             prune_soft: bool = False):
     """Serving with BOTH queries and the map sharded over the mesh — for
     city-scale DBs larger than one chip's HBM (the replicated-DB
     ``dp_serve_batch`` above is preferable whenever the map fits).
@@ -380,8 +381,23 @@ def dp_serve_batch_dbsharded(pipe, mesh: Mesh, top_k: int,
             hint_tokens_l, hint_lengths_l, method=type(model).encode_hints)
         if prune_m and top_k < prune_m < k_loc:
             cheap = pipe._cheap_matcher(prune_layers, prune_sinkhorn)
-            _, _, _, _, c_conf, c_spread = pipe._match_from_enc(
-                fstate, obj_enc, centers_xy, hint_enc, model=cheap)
+            if prune_soft:
+                from text2pos_tpu.train.losses import soft_mass_and_spread
+
+                qn, kn, padn = obj_enc.shape[:3]
+                hint_rep = jnp.repeat(hint_enc, kn, axis=0)
+                out = cheap.apply(
+                    {"params": fstate.params,
+                     "batch_stats": fstate.batch_stats},
+                    obj_enc.reshape(qn * kn, padn, -1), hint_rep,
+                    train=False, method=type(cheap).match_encoded)
+                c_conf, c_spread = soft_mass_and_spread(
+                    out["P"].reshape(qn, kn, padn + 1, -1),
+                    centers_xy,
+                    out["offsets"].reshape(qn, kn, -1, 2))
+            else:
+                _, _, _, _, c_conf, c_spread = pipe._match_from_enc(
+                    fstate, obj_enc, centers_xy, hint_enc, model=cheap)
             score = c_conf.astype(jnp.float32)
             if rerank_lambda:
                 score = score + rerank_lambda * sims.astype(jnp.float32)

@@ -45,7 +45,7 @@ class LocalizationServer:
                  shard_db: bool = False, rerank_lambda: float = 0.0,
                  rerank_gamma: float = 0.0, prune_m: int = 0,
                  prune_layers: int = 1, prune_sinkhorn: int = 10,
-                 int8_cheap_bank: bool = False):
+                 prune_soft: bool = False, int8_cheap_bank: bool = False):
         """Args:
             path_coarse/path_fine: msgpack checkpoints (train.coarse /
                 train.fine output, or convert_whole_model output).
@@ -109,6 +109,7 @@ class LocalizationServer:
         self.prune_m = int(prune_m)
         self.prune_layers = int(prune_layers)
         self.prune_sinkhorn = int(prune_sinkhorn)
+        self.prune_soft = bool(prune_soft)
         if prune_m and not (top_k < prune_m < rerank_k):
             raise ValueError(f"cascaded re-ranking needs top_k < prune_m "
                              f"< rerank_k, got {top_k}/{prune_m}/{rerank_k}")
@@ -183,14 +184,16 @@ class LocalizationServer:
                     num_real_cells=C, rerank_lambda=self.rerank_lambda,
                     rerank_gamma=self.rerank_gamma, prune_m=self.prune_m,
                     prune_layers=self.prune_layers,
-                    prune_sinkhorn=self.prune_sinkhorn)
+                    prune_sinkhorn=self.prune_sinkhorn,
+                    prune_soft=self.prune_soft)
             else:
                 self._dp_serve = dp_serve_batch(
                     pipe, make_mesh(data_parallel), k, rk,
                     rerank_lambda=self.rerank_lambda,
                     rerank_gamma=self.rerank_gamma, prune_m=self.prune_m,
                     prune_layers=self.prune_layers,
-                    prune_sinkhorn=self.prune_sinkhorn)
+                    prune_sinkhorn=self.prune_sinkhorn,
+                    prune_soft=self.prune_soft)
 
     # ------------------------------------------------------------------
     def _encode_text(self, pipe, tokens, lengths):
@@ -291,7 +294,8 @@ class LocalizationServer:
             self.cell_enc, k, self.fine_bank[0], self.fine_bank[1],
             min(self.rerank_k, self.bank.num_cells), self.rerank_lambda,
             self.rerank_gamma, self.prune_m, self.prune_layers,
-            self.prune_sinkhorn, self.cheap_bank[0], self.cheap_bank[1])
+            self.prune_sinkhorn, self.prune_soft,
+            cheap_bank=self.cheap_bank[0], cheap_scale=self.cheap_bank[1])
 
     def localize(self, hint_lists: Sequence[Sequence[str]],
                  pad_short_queries: bool = False) -> Dict:
@@ -472,6 +476,9 @@ def main(argv=None):
                     help="GNN self/cross pairs in the cascade's cheap pass")
     ap.add_argument("--prune_sinkhorn", type=int, default=10,
                     help="Sinkhorn iterations in the cascade's cheap pass")
+    ap.add_argument("--prune_soft", action="store_true",
+                    help="cheap pass scores from the soft transport mass "
+                         "and vote spread (no hard match extraction)")
     ap.add_argument("--int8_cheap_bank", action="store_true",
                     help="int8-quantized fine bank for the cheap pass "
                          "(halves the widest gather's HBM traffic; "
@@ -524,7 +531,7 @@ def main(argv=None):
         rerank_k=args.rerank_k, shard_db=args.shard_db,
         rerank_lambda=args.rerank_lambda, rerank_gamma=args.rerank_gamma,
         prune_m=args.prune_m, prune_layers=args.prune_layers,
-        prune_sinkhorn=args.prune_sinkhorn,
+        prune_sinkhorn=args.prune_sinkhorn, prune_soft=args.prune_soft,
         int8_cheap_bank=args.int8_cheap_bank)
     print(f"# serving {server.bank.num_cells} cells, top_k={args.top_k}, "
           f"batch={args.batch}", file=sys.stderr, flush=True)

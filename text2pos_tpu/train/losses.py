@@ -193,10 +193,21 @@ def soft_rank_score(P: jnp.ndarray, centers_xy: jnp.ndarray,
 
     Returns: [...] float32 scores.
     """
+    mass, spread = soft_mass_and_spread(P, centers_xy, offsets)
+    return mass - gamma * spread if gamma else mass
+
+
+def soft_mass_and_spread(P: jnp.ndarray, centers_xy: jnp.ndarray,
+                         offsets: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(soft transport mass, soft vote spread) — the two components of
+    the serving score's differentiable surrogate (see soft_rank_score).
+    Also used by the cascaded re-ranking's soft cheap pass
+    (pipeline.serve_batch prune_soft): computing these from the
+    transport matrix alone lets XLA dead-code-eliminate the hard
+    mutual-max extraction from the cheap pass."""
     T = P[..., :-1, :-1].astype(jnp.float32)          # [..., M, N]
     mass = jnp.sum(T, axis=(-2, -1))
-    if not gamma:
-        return mass
     w_h = jnp.sum(T, axis=-2)                          # [..., N]
     denom = jnp.maximum(w_h, 1e-9)[..., None]
     pos_h = jnp.einsum("...mn,...md->...nd", T,
@@ -207,7 +218,7 @@ def soft_rank_score(P: jnp.ndarray, centers_xy: jnp.ndarray,
               / wsum[..., None])                       # [..., 2]
     d2 = jnp.sum((votes - mean_v[..., None, :]) ** 2, axis=-1)
     spread = jnp.sqrt(jnp.sum(d2 * w_h, axis=-1) / wsum + 1e-12)
-    return mass - gamma * spread
+    return mass, spread
 
 
 def listwise_rank_loss(pos_score: jnp.ndarray, neg_scores: jnp.ndarray,
