@@ -879,6 +879,21 @@ class LocalizationPipeline:
             top_idx = jnp.take_along_axis(top_idx, keep, axis=1)
             sims = jnp.take_along_axis(sims, keep, axis=1)
             eff_rerank = prune_m
+            # Full pass on the survivors, reusing the cheap pass's hint
+            # encodings (the LSTM encode is per-query, not per-pair —
+            # re-encoding inside _match_chunk_cached would double it).
+            kept_flat = top_idx.reshape(-1)
+            obj_f = obj_enc_bank[kept_flat].reshape(
+                B, prune_m, *obj_enc_bank.shape[1:])
+            ctr_f = centers_xy_bank[kept_flat].reshape(
+                B, prune_m, *centers_xy_bank.shape[1:])
+            _, pos_mean, pos_offsets, confidences, conf_scores, spreads = (
+                self._match_from_enc(fine_state, obj_f, ctr_f, hint_enc))
+            return self._compact_results(
+                top_idx, pos_mean, pos_offsets, confidences, conf_scores,
+                top_k, eff_rerank, cell_enc.shape[0], sims=sims,
+                rerank_lambda=rerank_lambda, spreads=spreads,
+                rerank_gamma=rerank_gamma)
 
         match = (self._match_chunk_fused if self._gnn_folded is not None
                  else self._match_chunk_cached)
