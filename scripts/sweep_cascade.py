@@ -46,6 +46,11 @@ def main() -> None:
                     help="cheap configs as prune_layers:prune_sinkhorn")
     ap.add_argument("--ms", type=int, nargs="*",
                     default=[16, 24, 32, 48, 64])
+    ap.add_argument("--kprimes", type=int, nargs="*", default=[],
+                    help="additionally evaluate the grid with the pool "
+                         "restricted to the first K' of the kmax "
+                         "retrievals (numpy column slice — no extra "
+                         "device work)")
     ap.add_argument("--cheap_lams", type=float, nargs="*",
                     default=[0.0, 2.0, 4.0, 8.0])
     ap.add_argument("--cheap_gams", type=float, nargs="*",
@@ -250,31 +255,37 @@ def main() -> None:
     print(f"\n# grid (final score lam={args.lam} gam={args.gam}; acc = "
           f"top-{args.top_k}@15m after full rerank of the kept M)",
           flush=True)
-    print("config    M    best(lamc,gamc)  acc     top1    keep-recall",
+    print("config    K'   M    best(lamc,gamc)  acc     top1    keep-recall",
           flush=True)
-    for tag, (c_conf, c_spread, c_ms) in results.items():
-        for M in args.ms:
-            if not args.top_k < M < kmax:
-                continue
-            best = None
-            for lc in args.cheap_lams:
-                for gc in args.cheap_gams:
-                    cheap_score = c_conf + lc * sims - gc * c_spread
-                    keep = np.argsort(-cheap_score, axis=1,
-                                      kind="stable")[:, :M]
-                    kept_final = np.take_along_axis(final_score, keep,
-                                                    axis=1)
-                    order_in_keep = np.argsort(-kept_final, axis=1,
-                                               kind="stable")
-                    slots = np.take_along_axis(keep, order_in_keep, axis=1)
-                    a = acc_at(slots)
-                    if best is None or a > best[0]:
-                        kr = float(np.mean(np.take_along_axis(
-                            err, keep, axis=1).min(axis=1) <= 15.0))
-                        best = (a, top1_at(slots), lc, gc, kr)
-            a, t1, lc, gc, kr = best
-            print(f"{tag}  {M:4d}  lam={lc:g} gam={gc:g}   "
-                  f"{a:0.4f}  {t1:0.4f}  {kr:0.4f}", flush=True)
+    for kp in sorted(set(args.kprimes) | {kmax}):
+        if not args.top_k < kp <= kmax:
+            continue
+        for tag, (c_conf, c_spread, c_ms) in results.items():
+            for M in args.ms:
+                if not args.top_k < M < kp:
+                    continue
+                best = None
+                for lc in args.cheap_lams:
+                    for gc in args.cheap_gams:
+                        cheap_score = (c_conf[:, :kp] + lc * sims[:, :kp]
+                                       - gc * c_spread[:, :kp])
+                        keep = np.argsort(-cheap_score, axis=1,
+                                          kind="stable")[:, :M]
+                        kept_final = np.take_along_axis(
+                            final_score[:, :kp], keep, axis=1)
+                        order_in_keep = np.argsort(-kept_final, axis=1,
+                                                   kind="stable")
+                        slots = np.take_along_axis(keep, order_in_keep,
+                                                   axis=1)
+                        a = acc_at(slots)
+                        if best is None or a > best[0]:
+                            kr = float(np.mean(np.take_along_axis(
+                                err[:, :kp], keep, axis=1).min(axis=1)
+                                <= 15.0))
+                            best = (a, top1_at(slots), lc, gc, kr)
+                a, t1, lc, gc, kr = best
+                print(f"{tag}  {kp:4d} {M:4d}  lam={lc:g} gam={gc:g}   "
+                      f"{a:0.4f}  {t1:0.4f}  {kr:0.4f}", flush=True)
 
     if args.save:
         np.savez_compressed(args.save, **banks)
