@@ -163,6 +163,7 @@ class TestPipeline:
         assert 1 in accs_conf
 
 
+@pytest.mark.slow  # 250s+ of bf16 recompiles; the suite covers f32 serving
 class TestBfloat16Serving:
     def test_serve_batch_bf16_finite_and_consistent(self, setup):
         """The serving path with bfloat16 model bodies (attention logits,

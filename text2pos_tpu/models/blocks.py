@@ -192,6 +192,57 @@ class SuperGlueMLP(nn.Module):
         return x
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact variable tree ("kernel" +
+    "bias") that does NOT apply the layer. The serving fast graph
+    (models/superglue.py fast_graph) fuses several Dense applications
+    into one matmul over concatenated kernels — one HBM read of the
+    activations instead of one per projection — while staying
+    checkpoint-compatible with the standard modules."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class FastSuperGlueMLP(nn.Module):
+    """Concat-free SuperGlueMLP((2E, E)) for the serving fast graph.
+
+    The standard block computes ``dense_0(concat([x, msg]))`` — which
+    materializes the [.., 2E] concat through HBM just to read it back.
+    Splitting the first kernel row-wise gives the identical affine map
+    ``x @ W0[:E] + msg @ W0[E:] + b0`` without the concat (the f32
+    accumulation is reassociated: two K=E contractions summed instead of
+    one K=2E — differences are at rounding level). Same parameter tree
+    as SuperGlueMLP (dense_0 / bn_0 / dense_1)."""
+
+    feature_dim: int
+    dtype: Optional[jnp.dtype] = None
+    eval_batch_stats: bool = False
+    stat_groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, msg: jnp.ndarray,
+                 train: bool = True, stat_group: int = 0) -> jnp.ndarray:
+        E = self.feature_dim
+        k0, b0 = DenseParams(2 * E, 2 * E, name="dense_0")()
+        dt = self.dtype or jnp.promote_types(x.dtype, k0.dtype)
+        h = (x.astype(dt) @ k0[:E].astype(dt)
+             + msg.astype(dt) @ k0[E:].astype(dt) + b0.astype(dt))
+        h = MaskedBatchNorm(
+            name="bn_0", eval_batch_stats=self.eval_batch_stats,
+            stat_groups=self.stat_groups,
+        )(h, train=train, stat_group=stat_group)
+        h = nn.relu(h)
+        return nn.Dense(E, dtype=self.dtype, name="dense_1")(h)
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """torch ``F.normalize`` equivalent."""
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)

@@ -52,6 +52,11 @@ class SuperGlueMatch(nn.Module):
     # batch-stats normalization (pipeline.calibrated_for_serving). Training
     # keeps 1 (the flat [F] layout of every checkpoint).
     bn_stat_groups: int = 1
+    # Serving-only HBM-traffic reduction (checkpoint-compatible, same
+    # math up to f32 reassociation): fused q/k/v projections + concat-free
+    # block MLPs (models/superglue.py fast_graph). The fine stage is
+    # bandwidth-bound (docs/FINE_MFU.md), so bytes ≈ time.
+    fast_graph: bool = False
 
     def setup(self):
         self.language_encoder = LanguageEncoder(
@@ -80,6 +85,7 @@ class SuperGlueMatch(nn.Module):
             match_threshold=self.match_threshold,
             dtype=self.dtype,
             eval_batch_stats=self.eval_batch_stats,
+            fast_graph=self.fast_graph,
         )
         self.mlp_offsets = HeadMLP((self.embed_dim // 2, 2))
 

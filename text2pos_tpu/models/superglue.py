@@ -20,7 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from text2pos_tpu.models.blocks import SuperGlueMLP
+from text2pos_tpu.models.blocks import (DenseParams, FastSuperGlueMLP,
+                                        SuperGlueMLP)
 from text2pos_tpu.ops.sinkhorn import extract_matches, log_optimal_transport
 
 
@@ -34,11 +35,18 @@ class MultiHeadedAttention(nn.Module):
     form fuses into VPU reduce-fusions. Measured on a v5e at serving scale
     (20480 pose-cell pairs, 12 blocks): 46 ms vs 196 ms for the full GNN —
     a 4.3× win. Same math, same f32 accumulation, different op order.
+
+    ``fast_graph`` (serving-only, checkpoint-compatible): apply q/k/v as
+    ONE matmul over the concatenated kernels — one HBM read of the
+    activations instead of three (self-attention; two → one for the k/v
+    pair in cross-attention). The fine stage is bandwidth-bound at ~78%
+    of HBM peak (docs/FINE_MFU.md), so serving time follows bytes.
     """
 
     num_heads: int
     d_model: int
     dtype: Optional[jnp.dtype] = None
+    fast_graph: bool = False
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
@@ -46,14 +54,40 @@ class MultiHeadedAttention(nn.Module):
         assert self.d_model % self.num_heads == 0
         dim = self.d_model // self.num_heads
 
-        def proj(x, name):
-            h = nn.Dense(self.d_model, dtype=self.dtype, name=name)(x)
-            B, N, _ = h.shape
-            return h.reshape(B, N, self.num_heads, dim)
+        if self.fast_graph:
+            E, din = self.d_model, query.shape[-1]
+            kq, bq = DenseParams(E, din, name="proj_q")()
+            kk, bk = DenseParams(E, din, name="proj_k")()
+            kv, bv = DenseParams(E, din, name="proj_v")()
+            dt = self.dtype or jnp.promote_types(query.dtype, kq.dtype)
 
-        q = proj(query, "proj_q")
-        k = proj(key, "proj_k")
-        v = proj(value, "proj_v")
+            def mm(x, w, b):
+                return x.astype(dt) @ w.astype(dt) + b.astype(dt)
+
+            def split_heads(h):
+                B, N, _ = h.shape
+                return h.reshape(B, N, self.num_heads, dim)
+
+            if query is key:  # self-attention: one read of x for q, k, v
+                qkv = mm(query, jnp.concatenate([kq, kk, kv], axis=1),
+                         jnp.concatenate([bq, bk, bv]))
+                q, k, v = (split_heads(qkv[..., i * E:(i + 1) * E])
+                           for i in range(3))
+            else:  # cross-attention: one read of the source for k + v
+                kv_ = mm(key, jnp.concatenate([kk, kv], axis=1),
+                         jnp.concatenate([bk, bv]))
+                k = split_heads(kv_[..., :E])
+                v = split_heads(kv_[..., E:])
+                q = split_heads(mm(query, kq, bq))
+        else:
+            def proj(x, name):
+                h = nn.Dense(self.d_model, dtype=self.dtype, name=name)(x)
+                B, N, _ = h.shape
+                return h.reshape(B, N, self.num_heads, dim)
+
+            q = proj(query, "proj_q")
+            k = proj(key, "proj_k")
+            v = proj(value, "proj_v")
 
         # Attention logits/softmax in float32 regardless of compute dtype.
         # scores[b, n, m, h] — fused broadcast-reduce over head_dim (VPU).
@@ -74,13 +108,22 @@ class AttentionalPropagation(nn.Module):
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
     bn_stat_groups: int = 1  # ≥2: per-set BN stats (see blocks.MaskedBatchNorm)
+    fast_graph: bool = False  # serving: fused q/k/v + concat-free MLP
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, source: jnp.ndarray,
                  train: bool = True, stat_group: int = 0) -> jnp.ndarray:
         message = MultiHeadedAttention(self.num_heads, self.feature_dim,
                                        dtype=self.dtype,
+                                       fast_graph=self.fast_graph,
                                        name="attn")(x, source, source)
+        if self.fast_graph:
+            return FastSuperGlueMLP(self.feature_dim, dtype=self.dtype,
+                                    eval_batch_stats=self.eval_batch_stats,
+                                    stat_groups=self.bn_stat_groups,
+                                    name="mlp")(x, message.astype(x.dtype),
+                                                train=train,
+                                                stat_group=stat_group)
         h = jnp.concatenate([x, message.astype(x.dtype)], axis=-1)
         return SuperGlueMLP((self.feature_dim * 2, self.feature_dim),
                             dtype=self.dtype,
@@ -101,6 +144,7 @@ class AttentionalGNN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
     bn_stat_groups: int = 1
+    fast_graph: bool = False
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
@@ -109,6 +153,7 @@ class AttentionalGNN(nn.Module):
             layer = AttentionalPropagation(self.feature_dim, dtype=self.dtype,
                                            eval_batch_stats=self.eval_batch_stats,
                                            bn_stat_groups=self.bn_stat_groups,
+                                           fast_graph=self.fast_graph,
                                            name=f"layer_{i}")
             if name == "cross":
                 src0, src1 = desc1, desc0
@@ -137,6 +182,7 @@ class SuperGlue(nn.Module):
     dtype: Optional[jnp.dtype] = None
     eval_batch_stats: bool = False
     bn_stat_groups: int = 1
+    fast_graph: bool = False
 
     @nn.compact
     def __call__(self, desc0: jnp.ndarray, desc1: jnp.ndarray,
@@ -154,6 +200,7 @@ class SuperGlue(nn.Module):
                                           dtype=self.dtype,
                                           eval_batch_stats=self.eval_batch_stats,
                                           bn_stat_groups=self.bn_stat_groups,
+                                          fast_graph=self.fast_graph,
                                           name="gnn")(desc0, desc1, train=train)
 
         final = nn.Dense(self.descriptor_dim, dtype=self.dtype,
