@@ -515,7 +515,9 @@ def run():
     exec_key = (f"{cache_key}|{jax.__version__}|"
                 f"{jax.devices()[0].device_kind}|"
                 f"{tk0.shape}|{htk0.shape}|{cell_enc_dev.shape}|"
-                f"{fine_bank[0].shape}" if cache_key else None)
+                f"{fine_bank[0].shape}|"
+                f"fg{os.environ.get('T2P_FAST_GRAPH', '1')}"
+                if cache_key else None)
     def _compile_serve():
         exe = type(pipe).serve_batch.lower(
             pipe, pipe.coarse_state, pipe.fine_state, tk0, ln0, htk0, hln0,
