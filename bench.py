@@ -516,7 +516,7 @@ def run():
                 f"{jax.devices()[0].device_kind}|"
                 f"{tk0.shape}|{htk0.shape}|{cell_enc_dev.shape}|"
                 f"{fine_bank[0].shape}|"
-                f"fg{os.environ.get('T2P_FAST_GRAPH', '1')}"
+                f"fg{os.environ.get('T2P_FAST_GRAPH', '0')}"
                 if cache_key else None)
     def _compile_serve():
         exe = type(pipe).serve_batch.lower(

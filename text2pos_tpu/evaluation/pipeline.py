@@ -399,14 +399,17 @@ class LocalizationPipeline:
             batch_stats=widen_gnn_stats(upd["batch_stats"]))
 
         # 2. Eval-mode pipeline with calibrated object-encoder stats; its
-        # fine bank is chunk-independent by construction. fast_graph:
-        # serving-only HBM-traffic reduction (fused q/k/v + concat-free
-        # block MLPs, same parameters, same math up to f32 reassociation
-        # — docs/FINE_MFU.md); T2P_FAST_GRAPH=0 restores the plain graph.
+        # fine bank is chunk-independent by construction. fast_graph
+        # (fused q/k/v + concat-free block MLPs, same parameters, same
+        # math up to f32 reassociation — docs/FINE_MFU.md) is OFF by
+        # default: measured on the TPU it *raises* the serve program's
+        # HBM traffic 63.8 → 82.2 GB and slows fine match 73 → 93 ms
+        # (XLA fuses the plain per-block Dense chain better than the
+        # pre-fused forms). T2P_FAST_GRAPH=1 re-enables for experiments.
         fine_eval = copy.copy(self.fine)
         fine_eval.model = model.clone(
             eval_batch_stats=False, bn_stat_groups=2,
-            fast_graph=os.environ.get("T2P_FAST_GRAPH", "1") == "1")
+            fast_graph=os.environ.get("T2P_FAST_GRAPH", "0") == "1")
         serving = LocalizationPipeline(self.coarse, self.coarse_state,
                                        fine_eval, state1, self.cfg,
                                        mesh=self.mesh)
@@ -449,7 +452,7 @@ class LocalizationPipeline:
         fine_eval = copy.copy(self.fine)
         fine_eval.model = self.fine.model.clone(
             eval_batch_stats=False, bn_stat_groups=2,
-            fast_graph=os.environ.get("T2P_FAST_GRAPH", "1") == "1")
+            fast_graph=os.environ.get("T2P_FAST_GRAPH", "0") == "1")
         serving = LocalizationPipeline(
             self.coarse, self.coarse_state, fine_eval,
             self.fine_state.replace(batch_stats=batch_stats), self.cfg,
