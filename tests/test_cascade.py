@@ -152,6 +152,31 @@ class TestCascade:
                                order[..., None], axis=1).astype(np.float16),
             atol=1e-3)
 
+    def test_zero_layer_cheap_pass_serves(self, calibrated):
+        """prune_layers=0 — cheap scoring straight from the projected
+        pre-GNN descriptors, the cheapest cascade config (no attention
+        blocks at all) — must serve: the returned top-k are drawn from
+        the wide coarse pool and positions are finite, for both hard
+        and soft cheap scores."""
+        pipe, bank, fine_bank, cell_enc, dyn = calibrated
+        from text2pos_tpu.ops.retrieval import topk_retrieval
+
+        cmodel = pipe.coarse.model
+        text_enc = cmodel.apply(
+            {"params": pipe.coarse_state.params,
+             "batch_stats": pipe.coarse_state.batch_stats},
+            dyn[0], dyn[1], method=type(cmodel).encode_text)
+        _, wide = topk_retrieval(text_enc, cell_enc, K_ALL)
+        wide_sets = [set(r) for r in np.asarray(wide, np.int64)]
+        for soft in (False, True):
+            got = _serve(pipe, cell_enc, fine_bank, dyn, K_ALL, 2.0, 1.0,
+                         M, 0, 4, soft)
+            idx = np.asarray(got[0], np.int64)
+            assert idx.shape == (dyn[0].shape[0], TOP_K)
+            for r, ws in zip(idx, wide_sets):
+                assert set(r) <= ws
+            assert np.all(np.isfinite(np.asarray(got[2], np.float32)))
+
     def test_int8_cheap_bank_roundtrip_and_serving(self, calibrated):
         """quantize_fine_bank error stays within the per-object scale
         bound, and the int8-cheap-bank cascade selects exactly what a
