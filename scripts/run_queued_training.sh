@@ -31,7 +31,29 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   T2P_BENCH_INIT_TIMEOUT=${T2P_BENCH_INIT_TIMEOUT:-600} \
   T2P_FUSED_VERBOSE=${T2P_FUSED_VERBOSE:-1} \
   T2P_FUSED_SEG=${T2P_FUSED_SEG:-128} \
-    python scripts/train_bench_ckpts.py --resume "${ARGS[@]}" && exit 0
+    python scripts/train_bench_ckpts.py --resume "${ARGS[@]}" &
+  TPID=$!
+  # CPU-flatline watchdog: a relay drop mid-run leaves the process
+  # blocked in a device RPC at ~0% CPU *forever* (observed round 5:
+  # 17 min flat before a manual kill), which the exit-code retry above
+  # can never see. Even the slowest remote compiles keep finishing
+  # within ~15 min, so 20 min (< 100 jiffies ≈ 1 s of CPU) is a hang.
+  last_cpu=0
+  last_t=$(date +%s)
+  while kill -0 "$TPID" 2>/dev/null; do
+    sleep 60
+    cpu=$(awk '{print $14+$15}' "/proc/$TPID/stat" 2>/dev/null) || continue
+    now=$(date +%s)
+    if [ $((now - last_t)) -ge "${HANG_WINDOW:-1200}" ]; then
+      if [ -n "$cpu" ] && [ $((cpu - last_cpu)) -lt 100 ]; then
+        echo "$(date -u +%H:%M:%S) watchdog: CPU flat for ${HANG_WINDOW:-1200}s, killing $TPID" >&2
+        kill "$TPID"
+      fi
+      last_cpu=${cpu:-$last_cpu}
+      last_t=$now
+    fi
+  done
+  wait "$TPID" && exit 0
   echo "$(date -u +%H:%M:%S) attempt $attempt failed (rc=$?); will resume" >&2
   sleep 60
 done

@@ -49,7 +49,10 @@ def main() -> None:
     ap.add_argument("--prune_m", type=int, default=24)
     ap.add_argument("--prune_layers", type=int, default=1)
     ap.add_argument("--prune_sinkhorn", type=int, default=6)
-    ap.add_argument("--int8", action="store_true", default=True)
+    ap.add_argument("--int8", type=int, default=1,
+                    help="1: cheap pass reads the int8-quantized bank")
+    ap.add_argument("--soft", action="store_true",
+                    help="soft (extraction-free) cheap-pass scores")
     ap.add_argument("--json_out", default="docs/scale_run_records.json")
     args = ap.parse_args()
 
@@ -137,7 +140,8 @@ def main() -> None:
                 jnp.asarray(hint_tokens[idx]), jnp.asarray(hint_lengths[idx]),
                 cell_enc_dev, max(args.top_k), fine_bank[0], fine_bank[1],
                 rerank_k, args.lam, args.gam, prune_m, args.prune_layers,
-                args.prune_sinkhorn, False, *(cheap if prune_m else ()))
+                args.prune_sinkhorn, args.soft,
+                *(cheap if prune_m else ()))
             top_all[sl] = np.asarray(out[0], np.int64)[:real]
             pos_all[sl] = np.asarray(out[2], np.float32)[:real]
         elapsed = time.time() - t0
