@@ -943,6 +943,7 @@ def run():
             "cascade_prune_m": PRUNE_M,
             "cascade_prune_layers": PRUNE_LAYERS,
             "cascade_prune_sinkhorn": PRUNE_SINKHORN,
+            "cascade_prune_soft": PRUNE_SOFT,
             "cascade_bank_dtype": "int8" if PRUNE_INT8 else DTYPE,
             "cascade_qps": round(cs_qps, 2),
             "cascade_top10_at_15m": round(float(accs_cs[TOP_K][15]), 4),
